@@ -1,0 +1,22 @@
+"""Pytest root conftest: force a virtual 8-device CPU mesh for all tests.
+
+This is the TPU build's equivalent of the reference's `ddp_sim` preset
+(reference configs/trainer/ddp_sim.yaml:4-7, tests/test_train.py:52-61):
+multi-device semantics are exercised hermetically with
+`--xla_force_host_platform_device_count=8` on the CPU backend.
+
+Must run before any test module imports jax AND must undo the axon
+sitecustomize's `jax_platforms="axon,cpu"` override.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("ONEPROT_USE_PALLAS", "0")  # interpret-mode tests opt in
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,84 @@
+"""Device mesh + distributed bootstrap for TPU pods.
+
+Replaces the reference's hand-rolled SLURM/NCCL rendezvous
+(reference src/distributed.py:41-76) with `jax.distributed.initialize()` and a
+named `jax.sharding.Mesh`. On TPU, rendezvous, topology discovery and
+collective transport (ICI intra-slice, DCN across slices) are handled by the
+runtime; no MASTER_ADDR/InfiniBand hacks are needed.
+
+Axis conventions:
+  - "data"  : data parallelism (the reference's only parallelism — DDP,
+              reference configs/trainer/ddp.yaml:12). Contrastive all-gathers
+              ride this axis.
+  - "model" : optional tensor parallelism for large hubs (ESM2-3B+); unused
+              (size 1) for parity configs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(coordinator_address: Optional[str] = None) -> None:
+    """Multi-host bootstrap. A no-op for single-process runs.
+
+    On TPU pods, `jax.distributed.initialize()` auto-discovers the coordinator
+    from the TPU metadata; explicit args only needed for CPU/GPU clusters.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    num_processes = int(os.environ.get("ONEPROT_NUM_PROCESSES", "1"))
+    if num_processes > 1 or coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create the (data, model) mesh. data=-1 consumes all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    dp = mesh.shape[DATA_AXIS]
+    if global_batch % dp != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by dp={dp}")
+    return global_batch // dp
+
+
+def process_index() -> int:
+    """Equivalent of the reference's get_rank() (src/distributed.py:69-72)."""
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """Equivalent of reference is_main_process() (src/distributed.py:75-76)."""
+    return jax.process_index() == 0

@@ -1,0 +1,14 @@
+"""TPU compute kernels: Pallas implementations with jnp reference fallbacks.
+
+Dispatch policy: Pallas kernels engage on real TPU backends for shapes that
+tile well onto the MXU; everything else (CPU tests, tiny debug shapes) uses
+the jnp reference path, which XLA fuses adequately. Numerics of the two paths
+are asserted equal in tests/test_kernels.py.
+"""
+
+from oneprot_tpu.kernels.attention import dot_product_attention  # noqa: F401
+from oneprot_tpu.kernels.segment_ops import (  # noqa: F401
+    segment_mean,
+    segment_softmax,
+    segment_sum,
+)

@@ -1,0 +1,93 @@
+"""Segment ops for graph message passing.
+
+Replaces torch_scatter/torch_sparse CUDA kernels used (via torch_geometric)
+by the reference's ProNet encoder (reference README.md:79 install line,
+src/models/components/struct_graph_encoder.py:37).
+
+TPU-first design note: the GNN (oneprot_tpu/models/pronet.py) operates on
+*dense padded neighborhoods* [B, N, K] and aggregates with masked reductions,
+so its hot path needs no scatter at all. These segment ops cover the generic
+ragged path (flat edge lists) and are the oracle for any Pallas variants.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+) -> jax.Array:
+    """Sum rows of `data` into `num_segments` buckets (static shape)."""
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    eps: float = 1e-9,
+) -> jax.Array:
+    totals = segment_sum(data, segment_ids, num_segments)
+    counts = segment_sum(jnp.ones((data.shape[0],), data.dtype), segment_ids, num_segments)
+    return totals / jnp.maximum(counts, eps)[..., None]
+
+
+def segment_max(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+) -> jax.Array:
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+def segment_softmax(
+    logits: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+) -> jax.Array:
+    """Numerically-stable softmax within each segment (e.g. edge attention)."""
+    maxes = segment_max(logits, segment_ids, num_segments)
+    shifted = logits - maxes[segment_ids]
+    exp = jnp.exp(shifted)
+    denom = segment_sum(exp, segment_ids, num_segments)
+    return exp / jnp.maximum(denom[segment_ids], 1e-9)
+
+
+def masked_neighbor_sum(
+    messages: jax.Array,  # [B, N, K, D]
+    neighbor_mask: jax.Array,  # [B, N, K] bool/0-1
+) -> jax.Array:
+    """Dense padded-neighborhood aggregation — the TPU-native GNN hot path."""
+    m = neighbor_mask[..., None].astype(messages.dtype)
+    return jnp.sum(messages * m, axis=2)
+
+
+def masked_neighbor_mean(
+    messages: jax.Array,
+    neighbor_mask: jax.Array,
+    eps: float = 1e-9,
+) -> jax.Array:
+    m = neighbor_mask[..., None].astype(messages.dtype)
+    totals = jnp.sum(messages * m, axis=2)
+    counts = jnp.sum(m, axis=2)
+    return totals / jnp.maximum(counts, eps)
+
+
+def gather_neighbors(
+    node_feats: jax.Array,  # [B, N, D]
+    neighbor_idx: jax.Array,  # [B, N, K] int
+) -> jax.Array:
+    """Gather neighbor features: out[b,n,k] = node_feats[b, neighbor_idx[b,n,k]].
+
+    Pure gather — maps to efficient XLA dynamic-gather on TPU, no scatter.
+    """
+    B, N, K = neighbor_idx.shape
+    flat_idx = neighbor_idx.reshape(B, N * K)
+    gathered = jnp.take_along_axis(node_feats, flat_idx[..., None], axis=1)
+    return gathered.reshape(B, N, K, node_feats.shape[-1])

@@ -1,0 +1,415 @@
+"""Per-modality encoders: backbone + head, and the multi-modal hub model.
+
+Mirrors the reference's encoder classes and their config surface
+(reference src/models/components/{sequence,struct_token,text,msa,
+struct_graph}_encoder.py) as flax modules plus factory functions whose kwargs
+match the reference YAML keys 1:1 (configs/model/components/*.yaml), so
+reference configs instantiate unchanged.
+
+The hub model (OneProtModel) is the TPU equivalent of the reference's
+`nn.ModuleDict(components)` (oneprot_module.py:26): a dict of encoders keyed
+by modality; 'seqsim' routes to the sequence encoder (oneprot_module.py:69-71).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from oneprot_tpu.core.config import register_target_alias
+from oneprot_tpu.models.bert import Bert, BertConfig, resolve_bert_config
+from oneprot_tpu.models.esm2 import Esm2, Esm2Config, resolve_esm2_config
+from oneprot_tpu.models.heads import EncoderHead
+from oneprot_tpu.models.msa_transformer import MsaTransformer, MsaTransformerConfig
+from oneprot_tpu.models.pronet import ProNet, ProNetConfig
+
+STRUCT_EXTRA_TOKENS = 21  # struct_token_encoder.py:27 (+21 3Di rows)
+
+
+class SequenceEncoder(nn.Module):
+    """ESM2 hub encoder (sequence + seqsim modalities)."""
+
+    config: Esm2Config
+    output_dim: int
+    pooling_type: str = "mean"
+    proj_type: Optional[str] = None
+    use_logit_scale: bool = False
+    learnable_logit_scale: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    frozen: bool = True
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        hidden = Esm2(self.config, lora_rank=self.lora_rank,
+                      lora_alpha=self.lora_alpha, dtype=self.dtype,
+                      remat=self.remat, name="transformer")(input_ids)
+        return EncoderHead(
+            d_model=self.config.hidden_size,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            pooling_type=self.pooling_type,
+            use_logit_scale=self.use_logit_scale,
+            learnable_logit_scale=self.learnable_logit_scale,
+            dtype=self.dtype,
+            name="head",
+        )(hidden, mask)
+
+
+class StructTokenEncoder(nn.Module):
+    """Smaller ESM2 over interleaved SaProt 3Di structure tokens."""
+
+    config: Esm2Config  # vocab already includes the +21 3Di rows
+    output_dim: int
+    pooling_type: str = "mean"
+    proj_type: Optional[str] = "linear"
+    use_logit_scale: bool = True
+    learnable_logit_scale: bool = False
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        hidden = Esm2(self.config, dtype=self.dtype, remat=self.remat,
+                      name="transformer")(input_ids)
+        return EncoderHead(
+            d_model=self.config.hidden_size,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            pooling_type=self.pooling_type,
+            use_logit_scale=self.use_logit_scale,
+            learnable_logit_scale=self.learnable_logit_scale,
+            dtype=self.dtype,
+            name="head",
+        )(hidden, mask)
+
+
+class TextEncoder(nn.Module):
+    """BiomedBERT-style text encoder (CLS pooling in the reference config)."""
+
+    config: BertConfig
+    output_dim: int
+    pooling_type: str = "cls"
+    proj_type: Optional[str] = "mlp"
+    use_logit_scale: bool = True
+    learnable_logit_scale: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    frozen: bool = True
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        hidden = Bert(self.config, lora_rank=self.lora_rank,
+                      lora_alpha=self.lora_alpha, dtype=self.dtype,
+                      remat=self.remat, name="transformer")(input_ids)
+        return EncoderHead(
+            d_model=self.config.hidden_size,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            pooling_type=self.pooling_type,
+            use_logit_scale=self.use_logit_scale,
+            learnable_logit_scale=self.learnable_logit_scale,
+            dtype=self.dtype,
+            name="head",
+        )(hidden, mask)
+
+
+class StructGraphEncoder(nn.Module):
+    """ProNet-equivalent GNN + dropout + proj head (struct_graph & pocket,
+    reference struct_graph_encoder.py:36-42)."""
+
+    config: ProNetConfig
+    output_dim: int
+    proj_type: Optional[str] = "linear"
+    use_logit_scale: bool = True
+    learnable_logit_scale: bool = False
+    dropout: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, graph: Dict[str, jax.Array],
+                 deterministic: bool = True) -> jax.Array:
+        encoded = ProNet(self.config, dtype=self.dtype, name="encoder")(
+            graph, deterministic=deterministic)
+        encoded = nn.Dropout(self.dropout, deterministic=deterministic)(encoded)
+        return EncoderHead(
+            d_model=self.config.out_channels,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            pooling_type="identity",
+            use_logit_scale=self.use_logit_scale,
+            learnable_logit_scale=self.learnable_logit_scale,
+            dtype=self.dtype,
+            name="head",
+        )(encoded, None)
+
+
+class MsaEncoder(nn.Module):
+    """Frozen MSA-Transformer encoder (msa_encoder.py:18-49)."""
+
+    config: MsaTransformerConfig
+    output_dim: int
+    pooling_type: str = "mean"
+    proj_type: Optional[str] = "mlp"
+    use_logit_scale: bool = True
+    learnable_logit_scale: bool = False
+    use_all_msa: bool = True
+    frozen: bool = True  # always frozen in the reference
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        reps = MsaTransformer(self.config, dtype=self.dtype,
+                              name="transformer")(tokens)  # [B, R, L, H]
+        mask = (tokens != self.config.pad_token_id)
+        if self.use_all_msa:
+            m = mask[..., None].astype(reps.dtype)
+            pooled = jnp.sum(reps * m, axis=(1, 2)) / jnp.maximum(
+                jnp.sum(m, axis=(1, 2)), 1.0)
+            pooling = "identity"
+        else:
+            reps = reps[:, 0]
+            pooled = reps
+            pooling = self.pooling_type
+            mask = mask[:, 0]
+        head = EncoderHead(
+            d_model=self.config.hidden_size,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            pooling_type="identity" if self.use_all_msa else pooling,
+            use_logit_scale=self.use_logit_scale,
+            learnable_logit_scale=self.learnable_logit_scale,
+            dtype=self.dtype,
+            name="head",
+        )
+        if self.use_all_msa:
+            return head(pooled, None)
+        return head(pooled, mask.astype(jnp.int32))
+
+
+class OneProtModel(nn.Module):
+    """Multi-modal hub: dict of encoders; 'seqsim' routes to 'sequence'."""
+
+    encoders: Dict[str, nn.Module]
+
+    def __call__(self, inputs: Any, modality: str = "sequence",
+                 deterministic: bool = True) -> jax.Array:
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        enc = self.encoders[modality]
+        if isinstance(enc, StructGraphEncoder):
+            return enc(inputs, deterministic=deterministic)
+        return enc(inputs)
+
+    def encode_all(self, examples: Dict[str, Any]) -> Dict[str, jax.Array]:
+        """Run every encoder once — used as the init method so that all
+        parameters exist regardless of which modality trains first."""
+        return {
+            name: self(inputs, name, deterministic=True)
+            for name, inputs in examples.items()
+        }
+
+    @property
+    def modalities(self):
+        return list(self.encoders.keys())
+
+
+# ---------------------------------------------------------------------------
+# Factory functions: reference YAML kwargs -> modules
+# ---------------------------------------------------------------------------
+
+
+def _dtype(name) -> Any:
+    if name in (None, "float32", "fp32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    return name
+
+
+def create_sequence_encoder(
+    model_name_or_path: str = "facebook/esm2_t33_650M_UR50D",
+    output_dim: int = 1024,
+    pooling_type: str = "mean",
+    proj_type: Optional[str] = None,
+    use_logit_scale: bool = False,
+    learnable_logit_scale: bool = False,
+    pretrained: bool = True,
+    use_lora: bool = False,
+    lora_r: int = 8,
+    lora_alpha: int = 16,
+    lora_dropout: float = 0.1,
+    lora_target_modules=None,
+    frozen: bool = True,
+    dtype: Any = "float32",
+    remat: bool = False,
+) -> SequenceEncoder:
+    del pretrained, lora_dropout, lora_target_modules  # weights/dropout handled elsewhere
+    cfg = resolve_esm2_config(model_name_or_path)
+    return SequenceEncoder(
+        config=cfg,
+        output_dim=output_dim,
+        pooling_type=pooling_type,
+        proj_type=proj_type,
+        use_logit_scale=use_logit_scale,
+        learnable_logit_scale=learnable_logit_scale,
+        lora_rank=lora_r if use_lora else 0,
+        lora_alpha=lora_alpha,
+        frozen=frozen,
+        dtype=_dtype(dtype),
+        remat=remat,
+    )
+
+
+def create_struct_token_encoder(
+    model_name_or_path: str = "facebook/esm2_t12_35M_UR50D",
+    output_dim: int = 1024,
+    pooling_type: str = "mean",
+    proj_type: Optional[str] = "linear",
+    use_logit_scale: bool = True,
+    learnable_logit_scale: bool = False,
+    dtype: Any = "float32",
+    remat: bool = False,
+) -> StructTokenEncoder:
+    cfg = resolve_esm2_config(model_name_or_path)
+    cfg = dataclasses.replace(cfg, vocab_size=cfg.vocab_size + STRUCT_EXTRA_TOKENS)
+    return StructTokenEncoder(
+        config=cfg,
+        output_dim=output_dim,
+        pooling_type=pooling_type,
+        proj_type=proj_type,
+        use_logit_scale=use_logit_scale,
+        learnable_logit_scale=learnable_logit_scale,
+        dtype=_dtype(dtype),
+        remat=remat,
+    )
+
+
+def create_text_encoder(
+    model_name_or_path: str = "microsoft/BiomedNLP-BiomedBERT-base-uncased-abstract-fulltext",
+    output_dim: int = 1024,
+    pooling_type: str = "cls",
+    proj_type: Optional[str] = "mlp",
+    use_logit_scale: bool = True,
+    learnable_logit_scale: bool = False,
+    use_lora: bool = False,
+    lora_r: int = 8,
+    lora_alpha: int = 8,
+    lora_dropout: float = 0.1,
+    lora_target_modules=None,
+    frozen: bool = True,
+    vocab_size: Optional[int] = None,
+    dtype: Any = "float32",
+    remat: bool = False,
+) -> TextEncoder:
+    del lora_dropout, lora_target_modules
+    cfg = resolve_bert_config(model_name_or_path, vocab_size=vocab_size)
+    return TextEncoder(
+        config=cfg,
+        output_dim=output_dim,
+        pooling_type=pooling_type,
+        proj_type=proj_type,
+        use_logit_scale=use_logit_scale,
+        learnable_logit_scale=learnable_logit_scale,
+        lora_rank=lora_r if use_lora else 0,
+        lora_alpha=lora_alpha,
+        frozen=frozen,
+        dtype=_dtype(dtype),
+        remat=remat,
+    )
+
+
+def create_struct_graph_encoder(
+    encoder: Optional[Dict[str, Any]] = None,
+    output_dim: int = 1024,
+    proj_type: Optional[str] = "linear",
+    use_logit_scale: bool = True,
+    learnable_logit_scale: bool = False,
+    dtype: Any = "float32",
+    **kwargs: Any,
+) -> StructGraphEncoder:
+    """`encoder` carries the nested ProNet kwargs from the reference config
+    (struct_graph.yaml:2-9): level, out_channels, euler_noise,
+    data_augment_eachlayer, dropout."""
+    enc = dict(encoder or {})
+    enc.pop("_target_", None)
+    dropout = float(enc.pop("dropout", 0.25))
+    cfg = ProNetConfig(
+        out_channels=int(enc.pop("out_channels", output_dim)),
+        level=str(enc.pop("level", "backbone")),
+        euler_noise=bool(enc.pop("euler_noise", True)),
+        data_augment_eachlayer=bool(enc.pop("data_augment_eachlayer", True)),
+        hidden_size=int(enc.pop("hidden_size", 128)),
+        num_layers=int(enc.pop("num_layers", 4)),
+        num_rbf=int(enc.pop("num_rbf", 32)),
+        cutoff=float(enc.pop("cutoff", 10.0)),
+    )
+    return StructGraphEncoder(
+        config=cfg,
+        output_dim=output_dim,
+        proj_type=proj_type,
+        use_logit_scale=use_logit_scale,
+        learnable_logit_scale=learnable_logit_scale,
+        dropout=dropout,
+        dtype=_dtype(dtype),
+    )
+
+
+def create_msa_encoder(
+    model_name_or_path: str = "",
+    output_dim: int = 1024,
+    pooling_type: str = "identity",
+    proj_type: Optional[str] = "mlp",
+    use_logit_scale: bool = True,
+    learnable_logit_scale: bool = False,
+    use_all_msa: bool = True,
+    num_layers: int = 12,
+    hidden_size: int = 768,
+    dtype: Any = "float32",
+) -> MsaEncoder:
+    del model_name_or_path  # weights come through the checkpoint converter
+    cfg = MsaTransformerConfig(num_layers=num_layers, hidden_size=hidden_size)
+    return MsaEncoder(
+        config=cfg,
+        output_dim=output_dim,
+        pooling_type=pooling_type,
+        proj_type=proj_type,
+        use_logit_scale=use_logit_scale,
+        learnable_logit_scale=learnable_logit_scale,
+        use_all_msa=use_all_msa,
+        dtype=_dtype(dtype),
+    )
+
+
+# Reference-style _target_ strings resolve to the TPU factories.
+register_target_alias(
+    "src.models.components.sequence_encoder.SequenceEncoder",
+    "oneprot_tpu.models.encoders.create_sequence_encoder",
+)
+register_target_alias(
+    "src.models.components.struct_token_encoder.StructTokenEncoder",
+    "oneprot_tpu.models.encoders.create_struct_token_encoder",
+)
+register_target_alias(
+    "src.models.components.text_encoder.TextEncoder",
+    "oneprot_tpu.models.encoders.create_text_encoder",
+)
+register_target_alias(
+    "src.models.components.struct_graph_encoder.StructEncoder",
+    "oneprot_tpu.models.encoders.create_struct_graph_encoder",
+)
+register_target_alias(
+    "src.models.components.msa_encoder.MsaEncoder",
+    "oneprot_tpu.models.encoders.create_msa_encoder",
+)

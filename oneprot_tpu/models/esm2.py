@@ -1,0 +1,222 @@
+"""ESM2 protein language model in JAX/flax (TPU-native).
+
+First-party re-implementation of the ESM2 architecture used by the reference
+via `transformers.AutoModel` (reference src/models/components/
+sequence_encoder.py:50-59, configs/model/components/sequence.yaml:3). Numerics
+match HF `EsmModel` (verified in tests/test_models.py against a
+randomly-initialized torch EsmModel with converted weights):
+
+  - rotary position embeddings on q/k (GPT-NeoX-style rotate_half)
+  - pre-LN blocks + final `emb_layer_norm_after`
+  - ESM2 token-dropout embedding rescale (mask-token zeroing +
+    (1-0.12)/(1-observed_ratio) scaling)
+  - exact (erf) GELU, LayerNorm eps 1e-5
+
+TPU-first departures: attention runs through the fused Pallas flash-attention
+kernel (oneprot_tpu/kernels/flash_attention.py) on bf16 with fp32 softmax; all
+shapes are static (length-bucketed inputs).
+
+Optional LoRA (q/k/v) replaces the reference's peft integration
+(sequence_encoder.py:61-74): extra (A, B) factors live under 'lora_A'/'lora_B'
+param names so freeze masks can select them by path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from oneprot_tpu.kernels import dot_product_attention
+
+MASK_RATIO_TRAIN = 0.15 * 0.8  # ESM2 pretraining mask rate (token dropout)
+
+
+@dataclasses.dataclass(frozen=True)
+class Esm2Config:
+    vocab_size: int = 33
+    hidden_size: int = 320
+    num_layers: int = 6
+    num_heads: int = 20
+    intermediate_size: int = 1280
+    pad_token_id: int = 1
+    mask_token_id: int = 32
+    token_dropout: bool = True
+    layer_norm_eps: float = 1e-5
+    max_length: int = 1026
+
+
+# Published ESM2 model sizes (reference sequence.yaml:3 name surface).
+ESM2_SIZES = {
+    "esm2_t6_8M": Esm2Config(hidden_size=320, num_layers=6, num_heads=20,
+                             intermediate_size=1280),
+    "esm2_t12_35M": Esm2Config(hidden_size=480, num_layers=12, num_heads=20,
+                               intermediate_size=1920),
+    "esm2_t30_150M": Esm2Config(hidden_size=640, num_layers=30, num_heads=20,
+                                intermediate_size=2560),
+    "esm2_t33_650M": Esm2Config(hidden_size=1280, num_layers=33, num_heads=20,
+                                intermediate_size=5120),
+    "esm2_t36_3B": Esm2Config(hidden_size=2560, num_layers=36, num_heads=40,
+                              intermediate_size=10240),
+}
+
+
+def resolve_esm2_config(name_or_path: str, vocab_size: Optional[int] = None) -> Esm2Config:
+    """Map HF-style names ('facebook/esm2_t33_650M_UR50D') to configs."""
+    key = name_or_path.split("/")[-1]
+    for prefix, cfg in ESM2_SIZES.items():
+        if key.startswith(prefix):
+            if vocab_size is not None:
+                return dataclasses.replace(cfg, vocab_size=vocab_size)
+            return cfg
+    raise ValueError(f"Unknown ESM2 model name: {name_or_path}")
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def rotary_cos_sin(length: int, dim: int, dtype=jnp.float32):
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(length, dtype=jnp.float32)
+    freqs = jnp.einsum("l,d->ld", t, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    # x: [B, H, L, D]; cos/sin: [L, D]
+    return x * cos[None, None] + rotate_half(x) * sin[None, None]
+
+
+class LoraDense(nn.Module):
+    """Dense with optional LoRA factors (peft-compatible math:
+    y = xW + b + (alpha/r) * x @ A^T @ B^T, A init kaiming-uniform, B zeros)."""
+
+    features: int
+    use_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="dense")(x)
+        if self.lora_rank > 0:
+            in_dim = x.shape[-1]
+            a = self.param(
+                "lora_A",
+                nn.initializers.he_uniform(),
+                (in_dim, self.lora_rank),
+            ).astype(self.dtype)
+            b = self.param(
+                "lora_B", nn.initializers.zeros, (self.lora_rank, self.features)
+            ).astype(self.dtype)
+            y = y + (self.lora_alpha / self.lora_rank) * ((x @ a) @ b)
+        return y
+
+
+class Esm2SelfAttention(nn.Module):
+    config: Esm2Config
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
+        cfg = self.config
+        B, L, H = x.shape
+        nh = cfg.num_heads
+        hd = cfg.hidden_size // nh
+
+        def qkv(name):
+            return LoraDense(cfg.hidden_size, lora_rank=self.lora_rank,
+                             lora_alpha=self.lora_alpha, dtype=self.dtype,
+                             name=name)(x)
+
+        q = qkv("q").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        k = qkv("k").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        v = qkv("v").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+
+        cos, sin = rotary_cos_sin(L, hd, dtype=q.dtype)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        ctx = dot_product_attention(q, k, v, bias=bias)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
+
+
+class Esm2Layer(nn.Module):
+    config: Esm2Config
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="attn_ln")(x)
+        h = Esm2SelfAttention(cfg, self.lora_rank, self.lora_alpha,
+                              dtype=self.dtype, name="attn")(h, bias)
+        x = x + h
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="ffn_ln")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class Esm2(nn.Module):
+    """Returns last_hidden_state [B, L, H] (like HF EsmModel w/o pooler)."""
+
+    config: Esm2Config
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        cfg = self.config
+        attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+
+        emb_table = self.param(
+            "embed_tokens",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.vocab_size, cfg.hidden_size),
+        )
+        x = jnp.take(emb_table, input_ids, axis=0).astype(self.dtype)
+
+        if cfg.token_dropout:
+            is_mask = (input_ids == cfg.mask_token_id)
+            x = jnp.where(is_mask[..., None], 0.0, x)
+            src_lengths = jnp.maximum(attention_mask.sum(-1), 1)
+            mask_ratio_observed = (
+                is_mask.astype(jnp.float32).sum(-1) / src_lengths
+            )
+            scale = (1.0 - MASK_RATIO_TRAIN) / (1.0 - mask_ratio_observed)
+            x = x * scale[:, None, None].astype(x.dtype)
+
+        # zero out pad embeddings (HF EsmEmbeddings tail behaviour)
+        x = x * attention_mask[..., None].astype(x.dtype)
+
+        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+
+        layer_cls = Esm2Layer
+        if self.remat:
+            layer_cls = nn.remat(Esm2Layer, static_argnums=())
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
+                          dtype=self.dtype, name=f"layer_{i}")(x, bias)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="final_ln")(x)
+        return x

@@ -1,0 +1,147 @@
+"""Post-backbone heads: pooling → projection → L2-norm (+ logit scale).
+
+Re-implements the semantics of the reference BaseEncoder head stack
+(reference src/models/components/base_encoder.py:129-194) as flax modules:
+  - MeanPooling (mask-aware), CLSTokenPooling, Attention1dPooling
+    (base_encoder.py:88-126)
+  - projections: identity / LayerNorm+Linear(no bias) / LayerNorm-MLP-GELU
+    with hidden=(d_model+output_dim)//2 (base_encoder.py:147-169)
+  - L2 normalize + LearnableLogitScaling init 1/0.07, exp clipped at 100
+    (base_encoder.py:6-38)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """torch.nn.functional.normalize(p=2) semantics (norm clamped at eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def mean_pool(features: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Mask-aware mean over the length axis (base_encoder.py:105-118)."""
+    if features.ndim == 2:
+        return features
+    if mask is None:
+        return jnp.mean(features, axis=1)
+    m = mask.astype(features.dtype)[..., None]
+    return jnp.sum(features * m, axis=1) / jnp.sum(m, axis=1)
+
+
+def cls_pool(features: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    return features[:, 0]
+
+
+class Attention1dPooling(nn.Module):
+    """Masked conv-attention pooling (base_encoder.py:88-103).
+
+    The reference's MaskedConv1d with kernel_size=1 is exactly a per-position
+    dense layer to 1 logit; masked positions get -inf before softmax.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+        if mask is not None:
+            x_in = x * mask.astype(x.dtype)[..., None]
+        else:
+            x_in = x
+        attn = nn.Dense(1, name="attn")(x_in)[..., 0]  # [B, L]
+        if mask is not None:
+            attn = jnp.where(mask.astype(bool), attn, -jnp.inf)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        return jnp.sum(attn[..., None] * x, axis=1)
+
+
+class Projection(nn.Module):
+    """proj_type: None/'identity' | 'linear' | 'mlp' (base_encoder.py:147-169)."""
+
+    d_model: int
+    output_dim: int
+    proj_type: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.proj_type == "linear":
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+            x = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype,
+                         name="dense")(x)
+            return x
+        if self.proj_type == "mlp":
+            hidden = (self.d_model + self.output_dim) // 2
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
+            x = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="dense1")(x)
+            x = jax.nn.gelu(x, approximate=False)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
+            x = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype,
+                         name="dense2")(x)
+            return x
+        # identity (also when d_model == output_dim and proj_type is None)
+        return x
+
+
+class LogitScale(nn.Module):
+    """exp-parameterized temperature, init log(1/0.07), clipped at 100
+    (base_encoder.py:15-38). Kept in the param tree even when not learnable
+    so the reference's explicit test-step access pattern has an equivalent
+    (oneprot_module.py:142)."""
+
+    logit_scale_init: float = 1.0 / 0.07
+    learnable: bool = True
+    max_logit_scale: float = 100.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        init = lambda key, shape: jnp.full(shape, math.log(self.logit_scale_init))
+        if self.learnable:
+            log_scale = self.param("log_logit_scale", init, ())
+        else:
+            log_scale = jnp.asarray(math.log(self.logit_scale_init))
+        scale = jnp.minimum(jnp.exp(log_scale), self.max_logit_scale)
+        return scale.astype(x.dtype) * x
+
+
+class EncoderHead(nn.Module):
+    """pooling → projection → l2-norm (+ optional logit scale)."""
+
+    d_model: int
+    output_dim: int
+    proj_type: Optional[str] = None
+    pooling_type: str = "mean"
+    use_logit_scale: bool = False
+    learnable_logit_scale: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features: jax.Array, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        if self.pooling_type == "mean":
+            pooled = mean_pool(features, mask)
+        elif self.pooling_type == "cls":
+            pooled = cls_pool(features, mask)
+        elif self.pooling_type == "attention1d":
+            pooled = Attention1dPooling(name="attention1d")(features, mask)
+        else:  # identity / None
+            pooled = features
+        projected = Projection(
+            d_model=self.d_model,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            dtype=self.dtype,
+            name="proj",
+        )(pooled)
+        out = l2_normalize(projected.astype(jnp.float32), axis=-1)
+        if self.use_logit_scale:
+            out = LogitScale(
+                learnable=self.learnable_logit_scale, name="logit_scale"
+            )(out)
+        return out
