@@ -497,10 +497,13 @@ def instantiate(cfg: Any, *args: Any, **kwargs: Any) -> Any:
     cfg = dict(cfg)
     target = cfg.pop("_target_")
     is_partial = bool(cfg.pop("_partial_", False))
-    cfg.pop("_recursive_", None)
+    recursive = bool(cfg.pop("_recursive_", True))
     cfg.pop("_convert_", None)
     obj = _locate(target)
-    call_kwargs = {k: instantiate(v) for k, v in cfg.items()}
+    if recursive:
+        call_kwargs = {k: instantiate(v) for k, v in cfg.items()}
+    else:
+        call_kwargs = {k: to_plain(v) for k, v in cfg.items()}
     call_kwargs.update(kwargs)
     if is_partial:
         return partial(obj, *args, **call_kwargs)
@@ -518,7 +521,13 @@ def prepare_run_dir(cfg: ConfigNode, output_dir: Optional[str] = None) -> Config
 
     if output_dir is None:
         stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-        root = cfg.get("paths", {}).get("log_dir", "logs")
+        # resolve paths.* first so log_dir interpolations are concrete
+        pre = _Resolver(cfg, resolvers={"hydra": lambda a: ""})
+        try:
+            root = pre.resolve_tree(cfg.get("paths", {}), ("paths",)).get(
+                "log_dir", "logs")
+        except InterpolationError:
+            root = "logs"
         task = cfg.get("task_name", "run")
         output_dir = os.path.join(str(root), str(task), "runs", stamp)
     resolvers = {

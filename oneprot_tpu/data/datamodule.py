@@ -1,0 +1,216 @@
+"""OneProtDataModule: per-modality loaders + combined iteration.
+
+Parity with the reference datamodule (reference src/data/
+oneprot_datamodule.py): one loader per modality with its own batch size
+(line 63) and dataset-owned collate (line 70); combined "min_size" cycling
+for train and "sequential" for val/test (line 75); DATASET_CLASSES registry
+(lines 15-23) with pocket reusing StructDataset.
+
+TPU replacements for torch DataLoader: a thread-pool prefetcher (collate is
+HDF5 IO + tokenization + graph building — the host hot loop, SURVEY §3.5)
+and seeded numpy RNG per batch for reproducible augmentations.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from oneprot_tpu.data.datasets.msa_dataset import MSADataset
+from oneprot_tpu.data.datasets.seqsim_dataset import SequenceSimDataset
+from oneprot_tpu.data.datasets.struct_graph_dataset import StructDataset
+from oneprot_tpu.data.datasets.struct_token_dataset import StructTokenDataset
+from oneprot_tpu.data.datasets.text_dataset import TextDataset
+from oneprot_tpu.utils.loggers import get_pylogger
+
+log = get_pylogger(__name__)
+
+DATASET_CLASSES = {
+    "msa": MSADataset,
+    "struct_graph": StructDataset,
+    "pocket": StructDataset,
+    "text": TextDataset,
+    "struct_token": StructTokenDataset,
+    "seqsim": SequenceSimDataset,
+}
+
+
+class DataLoader:
+    """Minimal loader: shuffling sampler -> dataset.collate_fn, with
+    background thread prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[List[Any]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                break
+            yield [self.dataset[int(i)] for i in idxs]
+
+    def __iter__(self):
+        rng_seed = self.seed * 100003 + self.epoch
+        self.epoch += 1
+        if self.prefetch <= 0:
+            for b, items in enumerate(self._batches()):
+                yield self.dataset.collate_fn(
+                    items, rng=np.random.RandomState(rng_seed + b))
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def worker():
+            try:
+                for b, items in enumerate(self._batches()):
+                    q.put(self.dataset.collate_fn(
+                        items, rng=np.random.RandomState(rng_seed + b)))
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class CombinedLoader:
+    """min_size: one dict {modality: batch} per step, stops at the shortest
+    loader (reference CombinedLoader 'min_size'). sequential: flat stream of
+    per-modality batches (reference 'sequential' for val/test)."""
+
+    def __init__(self, loaders: Dict[str, DataLoader], mode: str = "min_size"):
+        self.loaders = loaders
+        self.mode = mode
+
+    def __len__(self) -> int:
+        if not self.loaders:
+            return 0
+        if self.mode == "min_size":
+            return min(len(l) for l in self.loaders.values())
+        return sum(len(l) for l in self.loaders.values())
+
+    def __iter__(self):
+        if self.mode == "min_size":
+            iters = {k: iter(v) for k, v in self.loaders.items()}
+            while True:
+                out = {}
+                try:
+                    for k, it in iters.items():
+                        out[k] = next(it)
+                except StopIteration:
+                    return
+                yield out
+        else:
+            for k, loader in self.loaders.items():
+                for batch in loader:
+                    yield batch
+
+
+class OneProtDataModule:
+    def __init__(
+        self,
+        modalities: Dict[str, Any],
+        num_workers: int = 4,
+        pin_memory: bool = False,
+        default_batch_size: int = 32,
+        buckets: Optional[List[int]] = None,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.modalities = modalities
+        self.num_workers = num_workers  # surface parity; threads used instead
+        self.default_batch_size = default_batch_size
+        self.buckets = list(buckets) if buckets else None
+        self.prefetch = prefetch
+        self.seed = seed
+        self.datasets: Dict[str, Any] = {}
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self.datasets:
+            return
+        for modality, modality_cfg in self.modalities.items():
+            if modality not in DATASET_CLASSES:
+                log.error(f"Unknown modality: {modality}")
+                continue
+            cls = DATASET_CLASSES[modality]
+            for split in ("train", "val", "test"):
+                kwargs = dict(modality_cfg["dataset"])
+                kwargs.pop("_target_", None)
+                kwargs["split"] = split
+                kwargs.setdefault("buckets", self.buckets)
+                try:
+                    self.datasets[f"{modality}_{split}"] = cls(**kwargs)
+                except Exception as e:
+                    log.error(f"Error creating dataset for {modality} {split}: {e}")
+            log.info(
+                f"{modality} Train/Val/Test sizes = "
+                f"{len(self.datasets.get(f'{modality}_train', []))} / "
+                f"{len(self.datasets.get(f'{modality}_val', []))} / "
+                f"{len(self.datasets.get(f'{modality}_test', []))}")
+
+    def _create_dataloader(self, split: str, shuffle: bool = False) -> CombinedLoader:
+        iterables = {}
+        for modality, modality_cfg in self.modalities.items():
+            key = f"{modality}_{split}"
+            if key not in self.datasets:
+                continue
+            bs_cfg = modality_cfg.get("batch_size", {})
+            batch_size = bs_cfg.get(split, self.default_batch_size)
+            iterables[modality] = DataLoader(
+                self.datasets[key], batch_size=int(batch_size),
+                shuffle=shuffle, seed=self.seed, prefetch=self.prefetch,
+                # static shapes + even DP sharding for train (val/test keep
+                # every item; the module replicates ragged tail batches)
+                drop_last=shuffle)
+        return CombinedLoader(iterables, "min_size" if shuffle else "sequential")
+
+    def train_dataloader(self) -> CombinedLoader:
+        return self._create_dataloader("train", shuffle=True)
+
+    def val_dataloader(self) -> CombinedLoader:
+        return self._create_dataloader("val")
+
+    def test_dataloader(self) -> CombinedLoader:
+        return self._create_dataloader("test")
+
+    def example_batches(self) -> Dict[str, Any]:
+        """One small batch per modality, for model init."""
+        out = {}
+        for modality in self.modalities:
+            key = f"{modality}_train"
+            ds = self.datasets.get(key) or self.datasets.get(f"{modality}_val")
+            if ds is None:
+                continue
+            items = [ds[i] for i in range(min(2, len(ds)))]
+            seq, mod, name, _ = ds.collate_fn(
+                items, rng=np.random.RandomState(0))
+            out[name] = (seq, mod)
+        return out

@@ -1,0 +1,73 @@
+"""MSA dataset (seq <-> multiple-sequence-alignment pairs).
+
+Parity with the reference MSADataset (reference src/data/datasets/
+msa_dataset.py): a3m paths from `{split}_msa.csv` (second column of rows
+containing '.a3m'), greedy hamming-diversity subselect to msa_depth, fair-esm
+MSA batch conversion with row truncation at 1022 columns, query row 0 as the
+paired sequence (line 50).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from oneprot_tpu.data.common import BaseDataset, pick_bucket
+from oneprot_tpu.data.tokenizers import MsaBatchConverter, esm2_tokenizer
+from oneprot_tpu.data.utils.msa_io import (
+    filter_and_create_msa_file_list,
+    greedy_select,
+    read_msa,
+)
+
+
+class MSADataset(BaseDataset):
+    modality = "msa"
+
+    def __init__(
+        self,
+        data_dir: str,
+        split: str,
+        max_length: int = 1024,
+        msa_depth: int = 100,
+        seq_tokenizer: str = "facebook/esm2_t33_650M_UR50D",
+        model_name_or_path: str = "",
+        buckets: Optional[List[int]] = None,
+    ):
+        self.split = split
+        self.max_length = max_length
+        self.msa_depth = msa_depth
+        self.buckets = buckets
+        self.msa_files = filter_and_create_msa_file_list(
+            f"{data_dir}/{split}_msa.csv")
+        self.converter = MsaBatchConverter(truncation_seq_length=1022)
+        self.seq_tok = esm2_tokenizer()
+
+    def num_items(self) -> int:
+        return len(self.msa_files)
+
+    def __getitem__(self, idx: int) -> str:
+        return self.msa_files[idx]
+
+    def collate_fn(self, msa_files: List[str],
+                   rng: Optional[np.random.RandomState] = None):
+        sequences, msas = [], []
+        for path in msa_files:
+            msa = read_msa(path)
+            msa = greedy_select(msa, num_seqs=self.msa_depth)
+            sequences.append(msa[0][1])
+            msas.append(msa)
+        longest_col = max(
+            (min(len(s), 1022) + 1 for m in msas for _, s in m), default=2)
+        col_pad = pick_bucket(longest_col, self.buckets, self.max_length)
+        msa_input = self.converter(
+            msas, max_rows=self.msa_depth,
+            pad_rows_to=min(self.msa_depth, max(len(m) for m in msas)),
+            pad_cols_to=col_pad)
+        msa_input = msa_input[:, :, : self.max_length]
+        longest = max((len(s) + 2 for s in sequences), default=2)
+        pad = pick_bucket(longest, self.buckets, self.max_length)
+        seq_input = self.seq_tok(sequences, max_length=self.max_length,
+                                 padding=pad)
+        return seq_input, msa_input, "msa", sequences

@@ -1,0 +1,230 @@
+"""Cross-modal retrieval evaluation (reference src/eval.py equivalent).
+
+One CSV with all modality columns (reference eval.py:30-35: ids, msa_files,
+text, struct_token, struct_graph, sequence, pocket) -> embed every modality
+with a trained model -> R@{1,10,100,500} + median rank for every modality
+pair, both directions (eval.py:158-184) -> fixed-width CSV (eval.py:185-208).
+
+TPU changes: the model restores from an Orbax run dir (resolved_config.yaml +
+checkpoints/); similarity/top-k run on device via the jitted eval steps; the
+reference's sklearn cosine_similarity becomes a normalized matmul (features
+are already L2-normalized up to the logit scale, so cosine == scaled dot).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from oneprot_tpu.core.config import instantiate, load_config, resolve, to_config
+from oneprot_tpu.data.common import H5, pick_bucket
+from oneprot_tpu.data.tokenizers import (
+    esm2_tokenizer,
+    resolve_text_tokenizer,
+    struct_token_tokenizer,
+)
+from oneprot_tpu.data.utils.graphs import protein_to_padded_graph, stack_graphs
+from oneprot_tpu.utils.loggers import get_pylogger
+
+log = get_pylogger(__name__)
+
+COLUMN_NAMES = ["ids", "msa_files", "text", "struct_token", "struct_graph",
+                "sequence", "pocket"]
+
+
+class CombinedDataset:
+    """All-modality eval rows from one CSV (reference eval.py:27-112)."""
+
+    def __init__(self, csv_file: str, data_dir: str, max_length: int = 1024,
+                 text_max_length: int = 512, text_tokenizer: str = "tiny",
+                 remove_hash: bool = True, max_residues: int = 256,
+                 max_neighbors: int = 24, buckets: Optional[List[int]] = None):
+        import pandas as pd
+
+        self.data = pd.read_csv(csv_file, header=None, names=COLUMN_NAMES)
+        self.data.drop(self.data.index[0], inplace=True)  # header row
+        self.data_dir = data_dir
+        self.max_length = max_length
+        self.text_max_length = text_max_length
+        self.remove_hash = remove_hash
+        self.max_residues = max_residues
+        self.max_neighbors = max_neighbors
+        self.buckets = buckets
+        self.struct_h5 = f"{data_dir}/seqstruc.h5"
+        self.pocket_h5 = f"{data_dir}/pockets_100_residues.h5"
+        self.seq_tok = esm2_tokenizer()
+        self.struct_tok = struct_token_tokenizer()
+        self.text_tok = resolve_text_tokenizer(text_tokenizer)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def _graph(self, h5_path: str, pid: str, max_residues: int):
+        h5 = H5.get(h5_path)
+        node = h5[pid]["structure"]["0"]["A"]
+        seq = node["residues"]["seq1"][()].decode("utf-8")
+        poly = node["polypeptide"]
+        return protein_to_padded_graph(
+            seq, poly["type"][()], poly["atom_amino_id"][()],
+            np.asarray(poly["xyz"][()], np.float64),
+            max_residues=max_residues, max_neighbors=self.max_neighbors)
+
+    def batches(self, batch_size: int):
+        h5 = H5.get(self.struct_h5)
+        for start in range(0, len(self.data), batch_size):
+            rows = self.data.iloc[start:start + batch_size]
+            seqs, structs, texts, graphs, pockets = [], [], [], [], []
+            for _, row in rows.iterrows():
+                try:
+                    seq = h5[row["sequence"]]["structure"]["0"]["A"][
+                        "residues"]["seq1"][()].decode("utf-8")
+                    graph = self._graph(self.struct_h5, row["struct_graph"],
+                                        self.max_residues)
+                    pocket = self._graph(self.pocket_h5, row["pocket"],
+                                         min(self.max_residues, 128))
+                except KeyError:
+                    log.warning(f"KeyError: {row['sequence']} missing in h5")
+                    continue
+                seqs.append(seq)
+                st = str(row["struct_token"])
+                structs.append(st.replace("#", "") if self.remove_hash else st)
+                texts.append(str(row["text"]))
+                graphs.append(graph)
+                pockets.append(pocket)
+            if not seqs:
+                continue
+            pad = pick_bucket(max(len(s) + 2 for s in seqs + structs),
+                              self.buckets, self.max_length)
+            batch = {
+                "sequence": self.seq_tok(seqs, max_length=self.max_length,
+                                         padding=pad),
+                "struct_token": self.struct_tok(
+                    structs, max_length=self.max_length, padding=pad),
+                "text": self.text_tok(texts, max_length=self.text_max_length),
+                "struct_graph": stack_graphs(graphs),
+                "pocket": stack_graphs(pockets),
+            }
+            yield batch
+
+
+def load_trained_module(run_dir: str, ckpt: str = "best"):
+    """Rebuild the module from a run dir's resolved config + Orbax ckpt
+    (reference load_custom_model, eval.py:114-137)."""
+    import yaml
+
+    from oneprot_tpu.train.checkpoint import CheckpointManager
+
+    with open(os.path.join(run_dir, "resolved_config.yaml")) as f:
+        cfg = to_config(yaml.safe_load(f))
+    module = instantiate(dict(cfg["model"]))
+    return module, cfg
+
+
+def embed_all(module, dataset: CombinedDataset, batch_size: int = 16,
+              run_dir: Optional[str] = None, ckpt: str = "best"):
+    """Embed every modality for every row (reference eval.py:144-156)."""
+    from oneprot_tpu.train.checkpoint import CheckpointManager
+
+    first = next(dataset.batches(batch_size))
+    # only modalities the trained model actually has encoders for
+    available = [m for m in first
+                 if m == "sequence" or m in module.encoders]
+    skipped = sorted(set(first) - set(available))
+    if skipped:
+        log.warning(f"model has no encoder for {skipped}; skipping")
+    first = {m: first[m] for m in available}
+    module.init({m: (first["sequence"], first[m])
+                 for m in first if m != "sequence"})
+    if run_dir is not None:
+        path = os.path.join(run_dir, "checkpoints", ckpt)
+        if os.path.isdir(path):
+            module.state = CheckpointManager.restore_path(path, module.state)
+            log.info(f"restored checkpoint {path}")
+        else:
+            log.warning(f"no checkpoint at {path}; using random init")
+
+    all_embeddings: Dict[str, List[np.ndarray]] = {}
+    for batch in dataset.batches(batch_size):
+        batch = {m: batch[m] for m in available}
+        for modality, data in batch.items():
+            feats = module.eval_step(
+                module.state.params, modality, batch["sequence"], data)[1] \
+                if modality != "sequence" else module.eval_step(
+                    module.state.params, "sequence", batch["sequence"],
+                    batch["sequence"])[0]
+            all_embeddings.setdefault(modality, []).append(np.asarray(feats))
+    return {m: np.concatenate(v, 0) for m, v in all_embeddings.items()}
+
+
+def calculate_retrieval_metrics(
+    embeddings: Dict[str, np.ndarray],
+    ks: Sequence[int] = (1, 10, 100, 500),
+) -> Dict[str, Dict[str, float]]:
+    """All-pairs retrieval metrics (reference eval.py:158-184)."""
+    modalities = list(embeddings.keys())
+    results: Dict[str, Dict[str, float]] = {}
+    for i, mod1 in enumerate(modalities):
+        for mod2 in modalities[i + 1:]:
+            e1 = _unit(embeddings[mod1])
+            e2 = _unit(embeddings[mod2])
+            sim = e1 @ e2.T
+            metrics: Dict[str, float] = {}
+            for name, logit in (("seq_to_mod", sim), ("mod_to_seq", sim.T)):
+                ranking = np.argsort(-logit, axis=1, kind="stable")
+                preds = np.argmax(
+                    ranking == np.arange(len(logit))[:, None], axis=1)
+                metrics[f"{name}_median_rank"] = int(
+                    np.floor(np.median(preds)) + 1)
+                for k in ks:
+                    metrics[f"{name}_R@{k}"] = float(np.mean(preds < k))
+            results[f"{mod1}-{mod2}"] = metrics
+    return results
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def write_results_to_csv(results: Dict[str, Dict[str, float]],
+                         output_path: str,
+                         ks: Sequence[int] = (1, 10, 100, 500)) -> None:
+    """Fixed-width CSV (reference eval.py:185-208 format)."""
+    with open(output_path, "w", newline="") as f:
+        writer = csv.writer(f, delimiter=",", quotechar='"',
+                            quoting=csv.QUOTE_MINIMAL)
+        headers = ["Modality Pair           "] + [
+            f"R@{k}".ljust(11) for k in ks] + ["MR         "]
+        writer.writerow(headers)
+        for modality_pair, metrics in results.items():
+            mod1, mod2 = modality_pair.split("-")
+            for direction in ("seq_to_mod", "mod_to_seq"):
+                pair = f"{mod1}-{mod2}" if direction == "seq_to_mod" \
+                    else f"{mod2}-{mod1}"
+                row = [f"{pair:<25}"] + [
+                    f"{metrics[f'{direction}_R@{k}']:.3f}      " for k in ks
+                ] + [f"{metrics[f'{direction}_median_rank']:<11}"]
+                writer.writerow(row)
+
+
+def run_eval(cfg) -> Dict[str, Dict[str, float]]:
+    """Full eval flow from a composed eval config."""
+    run_dir = str(cfg["run_dir"])
+    module, run_cfg = load_trained_module(run_dir)
+    data_dir = str(cfg["paths"]["data_dir"])
+    dataset = CombinedDataset(
+        csv_file=str(cfg["csv_file"]), data_dir=data_dir,
+        text_tokenizer=str(cfg["paths"].get("text_vocab", "tiny")))
+    embeddings = embed_all(module, dataset,
+                           batch_size=int(cfg.get("batch_size", 16)),
+                           run_dir=run_dir,
+                           ckpt=str(cfg.get("ckpt_path") or "best"))
+    ks = [int(k) for k in cfg.get("recall_ks", [1, 10, 100, 500])]
+    results = calculate_retrieval_metrics(embeddings, ks)
+    out_csv = os.path.join(run_dir, str(cfg.get("output_csv",
+                                                "retrieval_results.csv")))
+    write_results_to_csv(results, out_csv, ks)
+    log.info(f"retrieval results written to {out_csv}")
+    return results

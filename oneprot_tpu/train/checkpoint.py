@@ -1,0 +1,106 @@
+"""Orbax checkpointing: best-on-val + last, resume, PEFT-adapter subset.
+
+Replaces Lightning's ModelCheckpoint (reference configs/callbacks/
+default.yaml:7-13: monitor val/loss_best, mode min, save_last) and the
+PeftBestModelCheckpoint callback (reference src/models/components/
+peft_checkpoint.py:12-21). Unlike the reference's main resume path — which
+restores weights only, with `trainer.fit(ckpt_path=...)` commented out
+(reference src/train.py:73-88) — resume here restores params, optimizer
+state AND step counter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        dirpath: str,
+        monitor: str = "val/loss_best",
+        mode: str = "min",
+        save_last: bool = True,
+        save_top_k: int = 1,
+    ):
+        self.dirpath = os.path.abspath(dirpath)
+        os.makedirs(self.dirpath, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_last = save_last
+        self.best_value: Optional[float] = None
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _improved(self, value: float) -> bool:
+        if self.best_value is None:
+            return True
+        return value < self.best_value if self.mode == "min" else value > self.best_value
+
+    def _save(self, name: str, state: Any, metrics: Dict[str, float]) -> str:
+        path = os.path.join(self.dirpath, name)
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(self.dirpath, f"{name}.metrics.json"), "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f)
+        return path
+
+    def on_validation_end(self, state: Any, metrics: Dict[str, float]) -> Dict[str, str]:
+        """Save 'last' (always) and 'best' (on monitored improvement)."""
+        saved = {}
+        if self.save_last:
+            saved["last"] = self._save("last", state, metrics)
+        value = metrics.get(self.monitor)
+        if value is not None and self._improved(float(value)):
+            self.best_value = float(value)
+            saved["best"] = self._save("best", state, metrics)
+        return saved
+
+    def restore(self, state_template: Any, name: str = "last") -> Any:
+        path = name if os.path.isabs(name) else os.path.join(self.dirpath, name)
+        return self._ckptr.restore(path, target=state_template)
+
+    @staticmethod
+    def restore_path(path: str, state_template: Any) -> Any:
+        return ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), target=state_template)
+
+
+class PeftCheckpoint:
+    """Save only the sequence encoder's LoRA adapter on val-loss improvement
+    (reference peft_checkpoint.py:12-21), in peft's tensor layout."""
+
+    def __init__(self, dirpath: str, monitor: str = "val/loss",
+                 encoder_name: str = "sequence", num_layers: int = 0):
+        self.dirpath = dirpath
+        self.monitor = monitor
+        self.encoder_name = encoder_name
+        self.num_layers = num_layers
+        self.best: Optional[float] = None
+
+    def on_validation_end(self, params: Any, metrics: Dict[str, float]) -> Optional[str]:
+        from oneprot_tpu.models.hf_convert import export_peft_lora
+
+        value = metrics.get(self.monitor)
+        if value is None or (self.best is not None and value >= self.best):
+            return None
+        self.best = float(value)
+        enc_params = params.get(f"encoders_{self.encoder_name}", {})
+        transformer = enc_params.get("transformer", {})
+        adapter = export_peft_lora(
+            jax.tree.map(np.asarray, transformer), self.num_layers)
+        if not adapter:
+            return None
+        os.makedirs(self.dirpath, exist_ok=True)
+        out = os.path.join(self.dirpath, "adapter_model.npz")
+        np.savez(out, **adapter)
+        return out

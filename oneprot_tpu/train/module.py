@@ -1,0 +1,236 @@
+"""OneProtModule: the jit-compiled training core.
+
+TPU-native equivalent of the reference's `OneProtLitModule`
+(reference src/models/oneprot_module.py): holds the encoder dict, loss
+config, optimizer, and exposes per-modality train/eval steps.
+
+Design (SURVEY §7.5): the reference's Lightning manual-optimization inner
+loop — per modality: seq fwd, mod fwd, loss, zero_grad, backward, clip(1.0),
+Adam step (oneprot_module.py:92-107) — becomes ONE jit-compiled function per
+(modality, bucket-shape), each a full fwd+bwd+update. The optimizer steps K
+times per combined batch, exactly like the reference (this matters for
+optimization dynamics, SURVEY §7 hard-part 3).
+
+Parallelism is GSPMD: the step is jitted with the batch sharded over the
+mesh's "data" axis and params replicated; XLA partitions the contrastive
+`features @ features.T` into the all-gather + local-logits pattern
+automatically (the explicit-collective implementations in
+oneprot_tpu/losses/ are the semantic spec, tested under shard_map).
+
+Frozen backbones are *partitioned out of differentiation*: jax.grad runs
+only over the trainable subtree, so the frozen ESM2-650M hub costs a forward
+pass only — no backward, no optimizer state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from oneprot_tpu.core import mesh as mesh_lib
+from oneprot_tpu.losses import clip_loss, siglip_loss
+from oneprot_tpu.models.encoders import OneProtModel
+from oneprot_tpu.train import optim as optim_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any            # full tree (trainable + frozen merged)
+    opt_state: Any
+
+
+class OneProtModule:
+    def __init__(
+        self,
+        components: Dict[str, Any],
+        optimizer: Optional[Callable] = None,
+        scheduler: Optional[Any] = None,
+        loss_fn: str = "CLIP",
+        local_loss: bool = True,
+        gather_with_grad: bool = True,
+        use_l1_regularization: bool = False,
+        use_seqsim: bool = False,
+        train_on_all_modalities_after_step: int = 0,
+        gradient_clip_val: float = 1.0,
+        mesh: Optional[Any] = None,
+        seed: int = 0,
+    ):
+        self.encoders = dict(components)
+        self.model = OneProtModel(encoders=self.encoders)
+        self.loss_name = loss_fn
+        self.local_loss = local_loss
+        self.gather_with_grad = gather_with_grad
+        self.use_l1_regularization = use_l1_regularization
+        self.use_seqsim = use_seqsim
+        self.train_on_all_modalities_after_step = int(
+            train_on_all_modalities_after_step)
+        self.gradient_clip_val = gradient_clip_val
+        self.optimizer_fn = optimizer
+        self.scheduler_cfg = scheduler
+        self.seed = seed
+        self.mesh = mesh
+
+        self.tx = optim_lib.build_optimizer(
+            optimizer, gradient_clip_val=gradient_clip_val)
+
+        self._train_step_cache: Dict[Any, Callable] = {}
+        self._eval_step_cache: Dict[Any, Callable] = {}
+        self.state: Optional[TrainState] = None
+        self.mask = None
+
+    # -- setup --------------------------------------------------------------
+
+    @property
+    def modalities(self):
+        return list(self.encoders.keys())
+
+    def init(self, example_batches: Dict[str, Any]) -> TrainState:
+        """Initialize params from one example batch per modality."""
+        rng = jax.random.key(self.seed)
+        examples = {}
+        for name, (seq_inputs, mod_inputs) in example_batches.items():
+            examples.setdefault("sequence", jax.tree.map(jnp.asarray, seq_inputs))
+            if name == "seqsim":
+                continue  # routes through 'sequence'
+            examples[name] = jax.tree.map(jnp.asarray, mod_inputs)
+        if not examples:
+            raise ValueError(
+                "No example batches provided — did every dataset fail to "
+                "load? Check data_dir and the datamodule setup logs.")
+        params = self.model.init(
+            {"params": rng, "dropout": jax.random.key(self.seed + 1),
+             "augment": jax.random.key(self.seed + 2)},
+            examples, method=OneProtModel.encode_all)["params"]
+        self.mask = optim_lib.trainable_mask(params, self.encoders)
+        trainable, _ = optim_lib.partition_params(params, self.mask)
+        opt_state = self.tx.init(trainable)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt_state)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, repl)
+        self.state = state
+        return state
+
+    # -- loss ---------------------------------------------------------------
+
+    def _loss_value(self, mod_feats, seq_feats):
+        if self.loss_name.upper() == "CLIP":
+            loss = clip_loss(mod_feats, seq_feats)
+        else:
+            loss = siglip_loss(mod_feats, seq_feats)
+        if self.use_l1_regularization:
+            # reference oneprot_module.py:99-101
+            loss = loss + 0.01 * (
+                jnp.mean(jnp.abs(seq_feats)) + jnp.mean(jnp.abs(mod_feats)))
+        return loss
+
+    def _forward_pair(self, params, modality, seq_inputs, mod_inputs,
+                      rngs=None, deterministic=True):
+        seq_feats = self.model.apply(
+            {"params": params}, seq_inputs, "sequence",
+            deterministic=deterministic, rngs=rngs)
+        mod_feats = self.model.apply(
+            {"params": params}, mod_inputs, modality,
+            deterministic=deterministic, rngs=rngs)
+        return seq_feats, mod_feats
+
+    # -- train step ----------------------------------------------------------
+
+    def _build_train_step(self, modality: str):
+        mask = self.mask
+        tx = self.tx
+
+        def step_fn(state: TrainState, seq_inputs, mod_inputs):
+            rng = jax.random.fold_in(jax.random.key(self.seed), state.step)
+            rngs = {"dropout": rng, "augment": jax.random.fold_in(rng, 1)}
+            trainable, frozen = optim_lib.partition_params(state.params, mask)
+
+            def loss_fn(trainable_params):
+                params = optim_lib.merge_params(trainable_params, frozen)
+                seq_feats, mod_feats = self._forward_pair(
+                    params, modality, seq_inputs, mod_inputs,
+                    rngs=rngs, deterministic=False)
+                return self._loss_value(mod_feats, seq_feats)
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_params = optim_lib.merge_params(new_trainable, frozen)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=new_opt), loss
+
+        donate = (0,)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            return jax.jit(
+                step_fn,
+                donate_argnums=donate,
+                out_shardings=(repl, repl),
+            )
+        return jax.jit(step_fn, donate_argnums=donate)
+
+    def train_step(self, state: TrainState, modality: str,
+                   seq_inputs, mod_inputs) -> Tuple[TrainState, jax.Array]:
+        if modality not in self._train_step_cache:
+            self._train_step_cache[modality] = self._build_train_step(modality)
+        seq_inputs, mod_inputs = self._shard_batch(seq_inputs, mod_inputs)
+        return self._train_step_cache[modality](state, seq_inputs, mod_inputs)
+
+    # -- eval step ------------------------------------------------------------
+
+    def _build_eval_step(self, modality: str):
+        def step_fn(params, seq_inputs, mod_inputs):
+            seq_feats, mod_feats = self._forward_pair(
+                params, modality, seq_inputs, mod_inputs, deterministic=True)
+            loss = self._loss_value(mod_feats, seq_feats)
+            return seq_feats, mod_feats, loss
+
+        return jax.jit(step_fn)
+
+    def eval_step(self, params, modality: str, seq_inputs, mod_inputs):
+        if modality not in self._eval_step_cache:
+            self._eval_step_cache[modality] = self._build_eval_step(modality)
+        seq_inputs, mod_inputs = self._shard_batch(seq_inputs, mod_inputs)
+        return self._eval_step_cache[modality](params, seq_inputs, mod_inputs)
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _shard_batch(self, seq_inputs, mod_inputs):
+        if self.mesh is None:
+            return (jax.tree.map(jnp.asarray, seq_inputs),
+                    jax.tree.map(jnp.asarray, mod_inputs))
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS]
+        batch = jax.tree.leaves(seq_inputs)[0].shape[0]
+        if batch % dp == 0:
+            sharding = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        else:
+            # ragged tail batch (val/test, drop_last=False): replicate rather
+            # than bias metrics with padding rows
+            sharding = NamedSharding(self.mesh, P())
+        put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+        return jax.tree.map(put, seq_inputs), jax.tree.map(put, mod_inputs)
+
+    def modalities_to_train(self, step: int, batch_keys) -> list:
+        """Curriculum gate (reference oneprot_module.py:84-90)."""
+        if step < self.train_on_all_modalities_after_step:
+            return [m for m in ("struct_token",) if m in batch_keys]
+        mods = list(batch_keys)
+        if not self.use_seqsim and "seqsim" in mods:
+            mods.remove("seqsim")
+        return mods
+
+    def num_params(self) -> Tuple[int, int]:
+        """(total, trainable) parameter counts."""
+        assert self.state is not None
+        total = optim_lib.count_params(self.state.params)
+        trainable, _ = optim_lib.partition_params(self.state.params, self.mask)
+        return total, optim_lib.count_params(trainable)

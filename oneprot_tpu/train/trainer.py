@@ -1,0 +1,211 @@
+"""Trainer: the epoch/validation/checkpoint orchestration loop.
+
+TPU-native replacement for pytorch_lightning.Trainer as the reference uses
+it (reference configs/trainer/default.yaml, src/train.py:88): owns the mesh,
+drives the combined loader, calls the module's per-modality jitted steps,
+runs validation with retrieval metrics, and triggers checkpoint/logging
+callbacks. Config surface keeps the reference's key names
+(max_epochs, limit_*_batches, val_check_interval, deterministic, ...).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from oneprot_tpu.core import mesh as mesh_lib
+from oneprot_tpu.train.checkpoint import CheckpointManager, PeftCheckpoint
+from oneprot_tpu.train.metrics import MeanMetric, MinMetric, RetrievalMetric
+from oneprot_tpu.utils.loggers import CsvLogger, MultiLogger, get_pylogger
+
+log = get_pylogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        min_epochs: int = 1,
+        max_epochs: int = 10,
+        accelerator: str = "auto",
+        devices: Any = "auto",
+        precision: str = "bf16",
+        val_check_interval: Optional[int] = None,
+        check_val_every_n_epoch: int = 1,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        num_sanity_val_steps: int = 0,
+        deterministic: bool = False,
+        gradient_clip_val: float = 1.0,
+        log_every_n_steps: int = 10,
+        mesh: Optional[Dict[str, int]] = None,
+        profiler: Optional[str] = None,
+        default_root_dir: Optional[str] = None,
+        **unused: Any,
+    ):
+        self.min_epochs = min_epochs
+        self.max_epochs = max_epochs
+        self.accelerator = accelerator
+        self.devices = devices
+        self.precision = precision
+        self.val_check_interval = val_check_interval
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.deterministic = deterministic
+        self.gradient_clip_val = gradient_clip_val
+        self.log_every_n_steps = log_every_n_steps
+        self.profiler = profiler
+        self.output_dir = default_root_dir or "."
+        mesh_cfg = mesh or {}
+        self.mesh = mesh_lib.make_mesh(
+            data=int(mesh_cfg.get("data", -1)),
+            model=int(mesh_cfg.get("model", 1)),
+            devices=self._select_devices(),
+        )
+        self.global_step = 0
+        self.callbacks: Dict[str, Any] = {}
+        self.logger = None
+        self.metrics_history: Dict[str, float] = {}
+
+    def _select_devices(self):
+        devs = jax.devices()
+        if self.accelerator == "cpu":
+            try:
+                devs = jax.devices("cpu")
+            except RuntimeError:
+                pass
+        if isinstance(self.devices, int):
+            devs = devs[: self.devices]
+        return devs
+
+    # ------------------------------------------------------------------
+    def setup(self, module, datamodule, callbacks: Optional[Dict] = None,
+              logger=None, output_dir: Optional[str] = None):
+        if output_dir:
+            self.output_dir = output_dir
+        module.mesh = self.mesh
+        module.gradient_clip_val = self.gradient_clip_val
+        datamodule.setup()
+        examples = datamodule.example_batches()
+        module.init(examples)
+        total, trainable = module.num_params()
+        log.info(f"params: total={total:,} trainable={trainable:,} "
+                 f"mesh={dict(self.mesh.shape)}")
+        self.logger = logger or CsvLogger(self.output_dir)
+        cb_cfg = callbacks or {}
+        ckpt_cfg = dict(cb_cfg.get("model_checkpoint", {}))
+        dirpath = ckpt_cfg.pop("dirpath", os.path.join(self.output_dir, "checkpoints"))
+        ckpt_cfg.pop("filename", None)
+        ckpt_cfg.pop("auto_insert_metric_name", None)
+        self.callbacks["checkpoint"] = CheckpointManager(dirpath, **ckpt_cfg)
+        if "peft_checkpoint" in cb_cfg:
+            seq_enc = module.encoders.get("sequence")
+            num_layers = seq_enc.config.num_layers if seq_enc is not None else 0
+            self.callbacks["peft"] = PeftCheckpoint(
+                dirpath=cb_cfg["peft_checkpoint"].get(
+                    "dirpath", os.path.join(dirpath, "peft")),
+                num_layers=num_layers)
+        return module
+
+    # ------------------------------------------------------------------
+    def fit(self, module, datamodule, ckpt_path: Optional[str] = None,
+            callbacks: Optional[Dict] = None, logger=None,
+            output_dir: Optional[str] = None):
+        self.setup(module, datamodule, callbacks, logger, output_dir)
+        if ckpt_path:
+            module.state = CheckpointManager.restore_path(ckpt_path, module.state)
+            self.global_step = int(module.state.step)
+            log.info(f"resumed from {ckpt_path} at step {self.global_step}")
+
+        train_loss = MeanMetric()
+        val_loss_best = MinMetric()
+        stop = False
+        if self.profiler == "jax":
+            jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
+        try:
+            for epoch in range(self.max_epochs):
+                if stop:
+                    break
+                t_epoch = time.time()
+                n_batches = 0
+                for batch in datamodule.train_dataloader():
+                    if (self.limit_train_batches is not None
+                            and n_batches >= self.limit_train_batches):
+                        break
+                    n_batches += 1
+                    for modality in module.modalities_to_train(
+                            self.global_step, batch.keys()):
+                        seq_in, mod_in, _, _ = batch[modality]
+                        module.state, loss = module.train_step(
+                            module.state, modality, seq_in, mod_in)
+                        self.global_step += 1
+                        loss_val = float(loss)
+                        train_loss.update(loss_val)
+                        if self.global_step % self.log_every_n_steps == 0:
+                            self.logger.log_metrics(
+                                {"train/loss": train_loss.compute(),
+                                 f"train/loss_{modality}": loss_val,
+                                 "epoch": epoch},
+                                self.global_step)
+                    if (self.val_check_interval
+                            and self.global_step % self.val_check_interval == 0):
+                        self._run_validation(module, datamodule,
+                                             val_loss_best, epoch)
+                if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                    self._run_validation(module, datamodule, val_loss_best, epoch)
+                log.info(
+                    f"epoch {epoch}: steps={self.global_step} "
+                    f"train/loss={train_loss.compute():.4f} "
+                    f"({time.time() - t_epoch:.1f}s)")
+        finally:
+            if self.profiler == "jax":
+                jax.profiler.stop_trace()
+        return self.metrics_history
+
+    # ------------------------------------------------------------------
+    def _run_validation(self, module, datamodule, val_loss_best: MinMetric,
+                        epoch: int):
+        metrics = self.validate(module, datamodule, split="val")
+        if "val/loss" in metrics:
+            val_loss_best.update(metrics["val/loss"])
+            metrics["val/loss_best"] = val_loss_best.compute()
+        self.logger.log_metrics(metrics, self.global_step)
+        self.metrics_history.update(metrics)
+        if "checkpoint" in self.callbacks:
+            self.callbacks["checkpoint"].on_validation_end(module.state, metrics)
+        if "peft" in self.callbacks:
+            self.callbacks["peft"].on_validation_end(
+                module.state.params, metrics)
+
+    def validate(self, module, datamodule, split: str = "val") -> Dict[str, float]:
+        loader = (datamodule.val_dataloader() if split == "val"
+                  else datamodule.test_dataloader())
+        loss_metric = MeanMetric()
+        retrieval: Dict[str, RetrievalMetric] = {}
+        n = 0
+        for batch in loader:
+            if (split == "val" and self.limit_val_batches is not None
+                    and n >= self.limit_val_batches * max(len(loader.loaders), 1)):
+                break
+            n += 1
+            seq_in, mod_in, modality, _ = batch
+            seq_f, mod_f, loss = module.eval_step(
+                module.state.params, modality, seq_in, mod_in)
+            loss_metric.update(float(loss))
+            retrieval.setdefault(modality, RetrievalMetric()).update(
+                np.asarray(seq_f), np.asarray(mod_f))
+        metrics = {f"{split}/loss": loss_metric.compute()}
+        for modality, metric in retrieval.items():
+            for key, value in metric.compute().items():
+                metrics[f"{split}/{key}/{split}_{modality}"] = value
+        return metrics
+
+    def test(self, module, datamodule) -> Dict[str, float]:
+        metrics = self.validate(module, datamodule, split="test")
+        self.logger.log_metrics(metrics, self.global_step)
+        self.metrics_history.update(metrics)
+        return metrics

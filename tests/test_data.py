@@ -1,0 +1,165 @@
+"""Data-layer tests on hermetic synthetic fixtures (SURVEY §4: the reference
+lacks offline fixtures entirely — this suite runs the full matrix offline)."""
+
+import numpy as np
+import pytest
+
+from oneprot_tpu.data.datamodule import DATASET_CLASSES, OneProtDataModule
+from oneprot_tpu.data.synthetic import generate_fixtures
+from oneprot_tpu.data.utils import graphs as G
+from oneprot_tpu.data.utils.msa_io import greedy_select, read_msa, remove_insertions
+
+
+@pytest.fixture(scope="session")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fixtures")
+    generate_fixtures(str(d), n_train=12, n_eval=6, seed=0)
+    return str(d)
+
+
+def _mk(modality, data_dir, split="train", **kw):
+    cls = DATASET_CLASSES[modality]
+    base = dict(data_dir=data_dir, split=split, buckets=[32, 64, 128])
+    if modality == "struct_token":
+        base["filename"] = f"{data_dir}/train_saprot.h5"
+    if modality == "pocket":
+        base.update(pocket=True, max_residues=32, max_neighbors=8)
+    if modality == "struct_graph":
+        base.update(max_residues=64, max_neighbors=8)
+    if modality == "msa":
+        base["msa_depth"] = 4
+    base.update(kw)
+    return cls(**base)
+
+
+def test_struct_token_dataset(data_dir):
+    ds = _mk("struct_token", data_dir)
+    assert len(ds) == 12
+    seq, st, modality, raws = ds.collate_fn([ds[0], ds[1]])
+    assert modality == "struct_token"
+    assert seq.shape == st.shape and seq.shape[0] == 2
+    assert seq.shape[1] in (32, 64, 128)  # bucketed
+    # struct tokens use the +21 vocab rows
+    assert st.max() >= 33
+
+
+def test_text_dataset(data_dir):
+    ds = _mk("text", data_dir)
+    seq, text, modality, raws = ds.collate_fn([ds[0], ds[1], ds[2]])
+    assert modality == "text" and seq.shape[0] == 3 and text.shape[0] == 3
+    assert len(raws) == 3 and all(isinstance(s, str) for s in raws)
+
+
+@pytest.mark.parametrize("mod", ["struct_graph", "pocket"])
+def test_struct_graph_dataset(data_dir, mod):
+    ds = _mk(mod, data_dir)
+    rng = np.random.RandomState(0)
+    seq, graph, modality, raws = ds.collate_fn([ds[0], ds[1]], rng=rng)
+    assert modality == mod
+    n_max = 32 if mod == "pocket" else 64
+    assert graph["aa"].shape == (2, n_max)
+    assert graph["coords_ca"].shape == (2, n_max, 3)
+    assert graph["bb_embs"].shape == (2, n_max, 6)
+    assert graph["side_chain_embs"].shape == (2, n_max, 8)
+    assert graph["neighbor_idx"].shape == (2, n_max, 8)
+    assert graph["node_mask"].sum() > 0
+    # masked-out padding has zero neighbors
+    pad = graph["node_mask"][0] == 0
+    assert graph["neighbor_mask"][0][pad].sum() == 0
+
+
+def test_struct_graph_augmentations_trainonly(data_dir):
+    ds = _mk("struct_graph", data_dir, use_struct_coord_noise=True,
+             use_struct_deform=True, use_struct_mask=True)
+    r1 = ds.collate_fn([ds[0]], rng=np.random.RandomState(1))
+    r2 = ds.collate_fn([ds[0]], rng=np.random.RandomState(2))
+    assert not np.allclose(r1[1]["coords_ca"], r2[1]["coords_ca"])
+    ds_val = _mk("struct_graph", data_dir, split="val",
+                 use_struct_coord_noise=True)
+    v1 = ds_val.collate_fn([ds_val[0]], rng=np.random.RandomState(1))
+    v2 = ds_val.collate_fn([ds_val[0]], rng=np.random.RandomState(2))
+    np.testing.assert_array_equal(v1[1]["coords_ca"], v2[1]["coords_ca"])
+
+
+def test_msa_dataset(data_dir):
+    ds = _mk("msa", data_dir)
+    seq, msa, modality, raws = ds.collate_fn([ds[0], ds[1]])
+    assert modality == "msa"
+    assert msa.ndim == 3 and msa.shape[0] == 2
+    assert msa.shape[1] <= 4  # depth-capped
+    assert msa[0, 0, 0] == 0  # per-row cls
+
+
+def test_seqsim_dataset(data_dir):
+    ds = _mk("seqsim", data_dir)
+    s1, s2, modality, _ = ds.collate_fn(
+        [ds[0], ds[1]], rng=np.random.RandomState(0))
+    assert modality == "seqsim"
+    # 3 entries per item (reference seqsim_dataset.py:80-121)
+    assert s1.shape[0] == 6 and s2.shape[0] == 6
+
+
+def test_val_len_capped_at_1000(data_dir):
+    ds = _mk("struct_token", data_dir, split="val")
+    assert len(ds) == 6  # min(n, 1000)
+
+
+def test_datamodule_combined_min_size(data_dir):
+    modalities = {
+        "struct_token": {
+            "dataset": {"data_dir": data_dir,
+                        "filename": f"{data_dir}/train_saprot.h5"},
+            "batch_size": {"train": 4, "val": 4, "test": 4},
+        },
+        "text": {
+            "dataset": {"data_dir": data_dir},
+            "batch_size": {"train": 6, "val": 4, "test": 4},
+        },
+    }
+    dm = OneProtDataModule(modalities, default_batch_size=4,
+                           buckets=[64, 128], prefetch=1)
+    dm.setup()
+    train_batches = list(dm.train_dataloader())
+    # min_size: 12/4=3 vs 12/6=2 -> 2 combined batches
+    assert len(train_batches) == 2
+    assert set(train_batches[0].keys()) == {"struct_token", "text"}
+    val_batches = list(dm.val_dataloader())
+    # sequential: flat stream over both modalities
+    mods = {b[2] for b in val_batches}
+    assert mods == {"struct_token", "text"}
+
+
+def test_greedy_select_diversity():
+    msa = [("q", "AAAA"), ("a", "AAAT"), ("b", "TTTT"), ("c", "AATT")]
+    out = greedy_select(msa, 2)
+    assert out[0][0] == "q"
+    assert out[1][0] == "b"  # max hamming from query
+
+
+def test_remove_insertions():
+    assert remove_insertions("AbC.dE*F") == "ACEF"
+
+
+def test_dihedral_math_properties():
+    # phi/psi/omega of an ideal extended chain are finite and bounded
+    rng = np.random.RandomState(0)
+    n = 10
+    pos_ca = np.cumsum(rng.normal(3.8, 0.1, (n, 3)), axis=0)
+    pos_n = pos_ca + rng.normal(0, 0.5, (n, 3))
+    pos_c = pos_ca + rng.normal(0, 0.5, (n, 3))
+    bb = G.backbone_embeddings(pos_n, pos_ca, pos_c)
+    assert bb.shape == (n, 6)
+    # cos^2+sin^2 == 1 for interior angles (padded zeros give 1 as cos(0)=1)
+    s = bb[:, :3] ** 2 + bb[:, 3:] ** 2
+    np.testing.assert_allclose(s[1:-1], 1.0, atol=1e-5)
+    # first residue phi (angle[0,0]) was padded to 0 -> cos=1, sin=0
+    assert bb[0, 0] == 1.0 and bb[0, 3] == 0.0
+
+
+def test_knn_neighbors_masking():
+    coords = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [50, 0, 0]], float)
+    idx, mask = G.knn_neighbors(coords, k=3, cutoff=10.0)
+    assert idx.shape == (4, 3)
+    assert mask[0].sum() == 2  # residue 3 out of cutoff
+    assert mask[3].sum() == 0  # far residue has no in-cutoff neighbors
+    assert idx[0, 0] == 1  # sorted by distance

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Training entry point: `python train.py [overrides...]`.
+
+TPU-native equivalent of the reference's `python src/train.py`
+(reference src/train.py): composes the config (same group surface), seeds,
+instantiates datamodule / module / trainer / callbacks / loggers, optionally
+restores a checkpoint, fits, and optionally tests with the best weights.
+
+No SLURM rendezvous or MASTER_ADDR patching (reference src/train.py:109-127,
+src/distributed.py) — on TPU pods `jax.distributed.initialize()` handles
+topology; single-host runs need nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# keep project-root imports working from anywhere (pyrootutils equivalent)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oneprot_tpu.core.config import (  # noqa: E402
+    instantiate,
+    load_config,
+    prepare_run_dir,
+    to_plain,
+)
+from oneprot_tpu.utils.loggers import CsvLogger, MultiLogger, get_pylogger  # noqa: E402
+
+log = get_pylogger("train")
+
+
+def train(cfg) -> dict:
+    """Run one training task from a resolved config (reference train.py:26-92)."""
+    import jax
+
+    from oneprot_tpu.core.mesh import init_distributed
+
+    init_distributed()
+    seed = int(cfg.get("seed", 0))
+    os.environ.setdefault("ONEPROT_SEED", str(seed))
+
+    output_dir = cfg["paths"]["output_dir"]
+    log.info(f"output_dir: {output_dir}")
+
+    data_dir = str(cfg["paths"]["data_dir"])
+    if data_dir.endswith("synthetic") or not (
+            os.path.isdir(data_dir) and os.listdir(data_dir)):
+        from oneprot_tpu.data.synthetic import ensure_fixtures
+
+        log.info(f"generating synthetic fixtures in {data_dir}")
+        ensure_fixtures(data_dir)
+
+    log.info("Instantiating datamodule")
+    data_cfg = dict(cfg["data"])
+    datamodule = instantiate({**data_cfg, "seed": seed})
+
+    log.info("Instantiating model")
+    model_cfg = dict(cfg["model"])
+    module = instantiate({**model_cfg, "seed": seed})
+
+    log.info("Instantiating trainer")
+    trainer = instantiate(cfg["trainer"])
+
+    loggers = [CsvLogger(output_dir)]
+    for name, lg_cfg in (cfg.get("logger") or {}).items():
+        if isinstance(lg_cfg, dict) and "_target_" in lg_cfg:
+            try:
+                loggers.append(instantiate(lg_cfg))
+            except Exception as e:  # optional deps (wandb) may be absent
+                log.warning(f"logger {name} unavailable: {e}")
+    logger = MultiLogger(loggers)
+    logger.log_hyperparams(to_plain(cfg))
+
+    metrics = {}
+    if cfg.get("train", True):
+        log.info("Starting training")
+        metrics = trainer.fit(
+            module, datamodule,
+            ckpt_path=cfg.get("ckpt_path"),
+            callbacks=cfg.get("callbacks"),
+            logger=logger,
+            output_dir=output_dir,
+        )
+
+    if cfg.get("test", False):
+        log.info("Starting testing (best checkpoint)")
+        best = os.path.join(output_dir, "checkpoints", "best")
+        if os.path.isdir(best):
+            module.state = trainer.callbacks["checkpoint"].restore(
+                module.state, "best")
+        metrics.update(trainer.test(module, datamodule))
+
+    logger.finalize()
+    return metrics
+
+
+def main(argv=None) -> dict:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "configs")
+    cfg = load_config(config_dir, "train", overrides=argv)
+    cfg = prepare_run_dir(cfg)
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    metrics = main()
+    printable = {k: round(float(v), 4) for k, v in metrics.items()
+                 if isinstance(v, (int, float))}
+    log.info(f"final metrics: {printable}")
