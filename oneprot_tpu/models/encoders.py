@@ -51,6 +51,12 @@ class SequenceEncoder(nn.Module):
         hidden = Esm2(self.config, lora_rank=self.lora_rank,
                       lora_alpha=self.lora_alpha, dtype=self.dtype,
                       remat=self.remat, name="transformer")(input_ids)
+        if self.frozen and self.lora_rank == 0:
+            # frozen backbone with no adapters: hard gradient barrier so
+            # autodiff keeps no residuals for the 650M tower (the head after
+            # it still trains, matching requires_grad=False semantics,
+            # reference sequence_encoder.py:57-59)
+            hidden = jax.lax.stop_gradient(hidden)
         return EncoderHead(
             d_model=self.config.hidden_size,
             output_dim=self.output_dim,
@@ -113,6 +119,8 @@ class TextEncoder(nn.Module):
         hidden = Bert(self.config, lora_rank=self.lora_rank,
                       lora_alpha=self.lora_alpha, dtype=self.dtype,
                       remat=self.remat, name="transformer")(input_ids)
+        if self.frozen and self.lora_rank == 0:
+            hidden = jax.lax.stop_gradient(hidden)  # see SequenceEncoder
         return EncoderHead(
             d_model=self.config.hidden_size,
             output_dim=self.output_dim,
@@ -172,6 +180,8 @@ class MsaEncoder(nn.Module):
     def __call__(self, tokens: jax.Array) -> jax.Array:
         reps = MsaTransformer(self.config, dtype=self.dtype,
                               name="transformer")(tokens)  # [B, R, L, H]
+        if self.frozen:
+            reps = jax.lax.stop_gradient(reps)  # always frozen in reference
         mask = (tokens != self.config.pad_token_id)
         if self.use_all_msa:
             m = mask[..., None].astype(reps.dtype)
@@ -376,10 +386,14 @@ def create_msa_encoder(
     use_all_msa: bool = True,
     num_layers: int = 12,
     hidden_size: int = 768,
+    num_heads: int = 12,
+    intermediate_size: Optional[int] = None,
     dtype: Any = "float32",
 ) -> MsaEncoder:
     del model_name_or_path  # weights come through the checkpoint converter
-    cfg = MsaTransformerConfig(num_layers=num_layers, hidden_size=hidden_size)
+    cfg = MsaTransformerConfig(
+        num_layers=num_layers, hidden_size=hidden_size, num_heads=num_heads,
+        intermediate_size=intermediate_size or 4 * hidden_size)
     return MsaEncoder(
         config=cfg,
         output_dim=output_dim,

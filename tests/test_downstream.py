@@ -1,0 +1,134 @@
+"""Downstream subsystem tests: f1_max parity vs the torch reference
+algorithm, collect_embeddings -> MLP/booster probes end-to-end on fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from oneprot_tpu.downstream.boosters import fit_booster
+from oneprot_tpu.downstream.mlp_probe import (
+    MLPProbeConfig,
+    compute_metrics,
+    fit_mlp_probe,
+)
+from oneprot_tpu.downstream.utils import count_f1_max, load_data
+from oneprot_tpu.data.synthetic import generate_fixtures
+
+
+def _torch_count_f1_max(pred, target):
+    """The TorchDrug algorithm verbatim (reference downstream.py:12-59),
+    used as the oracle for the numpy port."""
+    import torch
+
+    pred = torch.tensor(pred)
+    target = torch.tensor(target)
+    order = pred.argsort(descending=True, dim=1)
+    target = target.gather(1, order)
+    precision = target.cumsum(1) / torch.ones_like(target).cumsum(1)
+    recall = target.cumsum(1) / (target.sum(1, keepdim=True) + 1e-10)
+    is_start = torch.zeros_like(target).bool()
+    is_start[:, 0] = 1
+    is_start = torch.scatter(is_start, 1, order, is_start)
+    all_order = pred.flatten().argsort(descending=True)
+    order = order + torch.arange(order.shape[0]).unsqueeze(1) * order.shape[1]
+    order = order.flatten()
+    inv_order = torch.zeros_like(order)
+    inv_order[order] = torch.arange(order.shape[0])
+    is_start = is_start.flatten()[all_order]
+    all_order = inv_order[all_order]
+    precision = precision.flatten()
+    recall = recall.flatten()
+    all_precision = precision[all_order] - torch.where(
+        is_start, torch.zeros_like(precision), precision[all_order - 1])
+    all_precision = all_precision.cumsum(0) / is_start.cumsum(0)
+    all_recall = recall[all_order] - torch.where(
+        is_start, torch.zeros_like(recall), recall[all_order - 1])
+    all_recall = all_recall.cumsum(0) / pred.shape[0]
+    all_f1 = 2 * all_precision * all_recall / (all_precision + all_recall + 1e-10)
+    return all_f1.max().item()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_count_f1_max_matches_torchdrug(seed):
+    rng = np.random.RandomState(seed)
+    pred = rng.rand(6, 15).astype(np.float64)
+    target = (rng.rand(6, 15) > 0.7).astype(np.float64)
+    got = count_f1_max(pred, target)
+    want = _torch_count_f1_max(pred, target)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_mlp_probe_learns_separable_data():
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 16) * 4
+    def make(n):
+        y = rng.randint(0, 3, n)
+        x = centers[y] + rng.randn(n, 16) * 0.3
+        return x.astype(np.float32), y.astype(np.int64)
+    res = fit_mlp_probe(make(256), make(64), make(64), "ToyCls",
+                        MLPProbeConfig(max_epochs=30, batch_size=32))
+    assert res["accuracy"] > 0.9
+
+
+def test_mlp_probe_regression_metrics():
+    rng = np.random.RandomState(0)
+    w = rng.randn(16)
+    def make(n):
+        x = rng.randn(n, 16).astype(np.float32)
+        return x, (x @ w).astype(np.float32)
+    res = fit_mlp_probe(make(256), make(64), make(64), "ToyReg",
+                        MLPProbeConfig(max_epochs=40, batch_size=32))
+    assert res["r2"] > 0.8 and res["spearman"] > 0.9
+
+
+def test_multilabel_f1max_metric_path():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(8, 5)
+    labels = (rng.rand(8, 5) > 0.5).astype(np.int32)
+    out = compute_metrics("multi-label", logits, labels)
+    assert 0.0 <= out["f1_max"] <= 1.0
+
+
+def test_booster_probe():
+    rng = np.random.RandomState(0)
+    centers = rng.randn(2, 8) * 3
+    def make(n):
+        y = rng.randint(0, 2, n)
+        return (centers[y] + rng.randn(n, 8) * 0.5).astype(np.float32), y
+    res = fit_booster(make(128), make(32), make(32), "DeepLoc2")
+    assert res["accuracy"] > 0.85
+
+
+def test_collect_embeddings_end_to_end(tmp_path, monkeypatch):
+    """fixtures -> EmbeddingBackbone(esm2 tiny) -> shards -> combine -> probe."""
+    from oneprot_tpu.evaluation.collect_embeddings import (
+        EmbeddingBackbone,
+        combine_embeddings_for_split,
+        generate_embeddings,
+    )
+    from oneprot_tpu.models import esm2
+
+    monkeypatch.setitem(
+        esm2.ESM2_SIZES, "esm2_t6_8M",
+        esm2.Esm2Config(hidden_size=32, num_layers=2, num_heads=2,
+                        intermediate_size=64))
+    data_dir = str(tmp_path / "data")
+    generate_fixtures(data_dir, n_train=8, n_eval=4)
+    backbone = EmbeddingBackbone(
+        kind="esm2", model_name_or_path="facebook/esm2_t6_8M_UR50D",
+        dtype="float32")
+    combined = {}
+    for split in ("train", "valid", "test"):
+        csv = os.path.join(data_dir, "downstream", f"ToyCls_{split}.csv")
+        shard_dir = str(tmp_path / "emb" / split)
+        generate_embeddings(csv, shard_dir, backbone, batch_size=4,
+                            buckets=[32, 64])
+        out = str(tmp_path / f"ToyCls_{split}_embeddings_labels.npz")
+        combine_embeddings_for_split(shard_dir, out)
+        combined[split] = load_data(out)
+    assert combined["train"][0].shape == (16, 32)
+    res = fit_mlp_probe(combined["train"], combined["valid"],
+                        combined["test"], "ToyCls",
+                        MLPProbeConfig(max_epochs=3))
+    assert "accuracy" in res
