@@ -53,6 +53,11 @@ class EsmTokenizer:
         self.eos_token_id = self.vocab["<eos>"]
         self.unk_token_id = self.vocab["<unk>"]
         self.mask_token_id = self.vocab["<mask>"]
+        # byte->id LUT for the native fast path (single-char tokens only)
+        self._lut = np.full(256, self.unk_token_id, np.int32)
+        for tok, idx in self.vocab.items():
+            if len(tok) == 1:
+                self._lut[ord(tok)] = idx
 
     @property
     def vocab_size(self) -> int:
@@ -88,9 +93,21 @@ class EsmTokenizer:
             target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
         if max_length is not None:
             target = min(target, max_length) if padding == "longest" else target
+        from oneprot_tpu import native
+
+        fast = native.tokenize_batch(
+            sequences, self._lut, self.cls_token_id, self.eos_token_id,
+            self.pad_token_id,
+            max_len=max_length if max_length is not None else target,
+            pad_to=target)
+        if fast is not None:
+            return fast
         out = np.full((len(encoded), target), self.pad_token_id, dtype=np.int32)
-        for i, ids in enumerate(encoded):
-            ids = ids[:target]
+        # re-encode with the final target as the hard cap so <eos> survives
+        # bucket truncation (HF truncation keeps the final special token)
+        cap = target if max_length is None else min(max_length, target)
+        for i, seq in enumerate(sequences):
+            ids = self.encode_ids(seq, cap)
             out[i, : len(ids)] = ids
         return out
 

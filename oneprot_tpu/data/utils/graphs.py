@@ -123,7 +123,12 @@ def knn_neighbors(
     graph with unbounded degree; capping at k with a distance sort keeps the
     TPU shapes static while retaining the closest (most informative) edges.
     """
+    from oneprot_tpu import native
+
     n = coords.shape[0]
+    fast = native.knn_neighbors(coords, k, cutoff) if n > 1 else None
+    if fast is not None:
+        return fast
     d2 = ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.inf)
     k_eff = min(k, max(n - 1, 1))

@@ -64,6 +64,11 @@ def greedy_select(
     if len(msa) <= num_seqs:
         return msa
     arr = np.array([list(seq) for _, seq in msa], dtype="S1").view(np.uint8)
+    from oneprot_tpu import native
+
+    fast = native.greedy_select_indices(arr, num_seqs, mode)
+    if fast is not None:
+        return [msa[int(i)] for i in fast]
     n, L = arr.shape
     optfunc = np.argmax if mode == "max" else np.argmin
     selected = [0]

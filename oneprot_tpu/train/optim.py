@@ -22,11 +22,18 @@ import optax
 
 
 def adam(lr: float = 1e-3, weight_decay: float = 0.0, **kwargs: Any):
-    """torch.optim.Adam-surface factory (reference model/default.yaml keys)."""
+    """torch.optim.Adam-surface factory (reference model/default.yaml keys).
+
+    Built through optax.inject_hyperparams so the learning rate lives in the
+    optimizer state and can be rewritten at runtime (plateau scheduler,
+    oneprot_tpu/train/scheduler.py) without recompiling the train step.
+    """
     if weight_decay:
-        return optax.adamw(lr, weight_decay=weight_decay,
-                           eps=1e-8, b1=0.9, b2=0.999)
-    return optax.adam(lr, eps=1e-8, b1=0.9, b2=0.999)
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=weight_decay,
+            eps=1e-8, b1=0.9, b2=0.999)
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, eps=1e-8, b1=0.9, b2=0.999)
 
 
 def build_optimizer(

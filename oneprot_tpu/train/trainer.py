@@ -109,6 +109,11 @@ class Trainer:
                 dirpath=cb_cfg["peft_checkpoint"].get(
                     "dirpath", os.path.join(dirpath, "peft")),
                 num_layers=num_layers)
+        if getattr(module, "scheduler_cfg", None):
+            from oneprot_tpu.train.scheduler import ReduceLROnPlateau
+
+            self.callbacks["scheduler"] = ReduceLROnPlateau(
+                **dict(module.scheduler_cfg))
         return module
 
     # ------------------------------------------------------------------
@@ -180,6 +185,11 @@ class Trainer:
         if "peft" in self.callbacks:
             self.callbacks["peft"].on_validation_end(
                 module.state.params, metrics)
+        if "scheduler" in self.callbacks:
+            new_lr = self.callbacks["scheduler"].on_validation_end(
+                module, metrics)
+            if new_lr is not None:
+                self.logger.log_metrics({"lr": new_lr}, self.global_step)
 
     def validate(self, module, datamodule, split: str = "val") -> Dict[str, float]:
         loader = (datamodule.val_dataloader() if split == "val"

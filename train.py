@@ -26,10 +26,12 @@ from oneprot_tpu.core.config import (  # noqa: E402
     to_plain,
 )
 from oneprot_tpu.utils.loggers import CsvLogger, MultiLogger, get_pylogger  # noqa: E402
+from oneprot_tpu.utils.utils import extras, task_wrapper  # noqa: E402
 
 log = get_pylogger("train")
 
 
+@task_wrapper
 def train(cfg) -> dict:
     """Run one training task from a resolved config (reference train.py:26-92)."""
     import jax
@@ -101,6 +103,7 @@ def main(argv=None) -> dict:
                               "configs")
     cfg = load_config(config_dir, "train", overrides=argv)
     cfg = prepare_run_dir(cfg)
+    extras(cfg)
     return train(cfg)
 
 
