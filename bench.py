@@ -35,6 +35,7 @@ BASELINE_PAIRS_PER_SEC = 30.0
 SEQ_LEN = int(os.environ.get("BENCH_SEQ_LEN", 1024))
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 HUB = os.environ.get("BENCH_HUB", "facebook/esm2_t33_650M_UR50D")
 TOWER = os.environ.get("BENCH_TOWER", "facebook/esm2_t12_35M_UR50D")
 
@@ -55,7 +56,8 @@ def main() -> None:
             model_name_or_path=HUB, output_dim=1024, proj_type="mlp",
             frozen=True, dtype="bfloat16", remat=False),
         "struct_token": create_struct_token_encoder(
-            model_name_or_path=TOWER, output_dim=1024, dtype="bfloat16"),
+            model_name_or_path=TOWER, output_dim=1024, dtype="bfloat16",
+            remat=REMAT),
     }
     mesh = None
     if n_chips > 1:

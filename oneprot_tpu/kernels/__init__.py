@@ -6,7 +6,10 @@ the jnp reference path, which XLA fuses adequately. Numerics of the two paths
 are asserted equal in tests/test_kernels.py.
 """
 
-from oneprot_tpu.kernels.attention import dot_product_attention  # noqa: F401
+from oneprot_tpu.kernels.attention import (  # noqa: F401
+    dot_product_attention,
+    set_active_mesh,
+)
 from oneprot_tpu.kernels.segment_ops import (  # noqa: F401
     segment_mean,
     segment_softmax,

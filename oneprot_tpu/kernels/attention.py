@@ -23,6 +23,18 @@ def _tpu_available() -> bool:
         return False
 
 
+# Active mesh for GSPMD interop: pallas_call is opaque to the GSPMD
+# partitioner, so when the train step is jitted over a multi-device mesh the
+# kernel is wrapped in a shard_map over the data axis (per-shard pallas,
+# batch-sharded activations stay put). Set by OneProtModule.init.
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh if mesh is not None and mesh.size > 1 else None
+
+
 def reference_attention(
     q: jax.Array,  # [B, H, Lq, D]
     k: jax.Array,  # [B, H, Lk, D]
@@ -66,6 +78,49 @@ def dot_product_attention(
     if use_pallas:
         from oneprot_tpu.kernels.flash_attention import flash_attention, supports
 
+        # Small head dims (ESM2-35M: 24, -8M: 16) pad up to the kernel's
+        # minimum lane-friendly width. Zero-padding k/v leaves logits and
+        # outputs unchanged; q is pre-scaled by sqrt(D_pad/D) so the kernel's
+        # 1/sqrt(D_pad) softmax scale nets to 1/sqrt(D). This keeps the
+        # O(L^2) probability matrix out of HBM for every tower, not just the
+        # 650M hub (the fp32 [B,H,L,L] residuals of the XLA fallback are
+        # what OOM'd large batches).
+        d = q.shape[-1]
+        d_pad = max(64, -(-d // 8) * 8)
+        if d_pad != d and q.shape[2] >= 128 and k.shape[2] >= 128:
+            pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+            q_p = jnp.pad(q * (d_pad / d) ** 0.5, pad)
+            k_p = jnp.pad(k, pad)
+            v_p = jnp.pad(v, pad)
+            if supports(q_p, k_p, v_p, bias):
+                out = _maybe_sharded_flash(q_p, k_p, v_p, bias)
+                if out is not None:
+                    return out[..., :d]
         if supports(q, k, v, bias):
-            return flash_attention(q, k, v, bias)
+            out = _maybe_sharded_flash(q, k, v, bias)
+            if out is not None:
+                return out
     return reference_attention(q, k, v, bias)
+
+
+def _maybe_sharded_flash(q, k, v, bias):
+    """Run the Pallas kernel; under a multi-device mesh, wrap in a shard_map
+    over the data axis (pallas_call is opaque to the GSPMD partitioner)."""
+    from oneprot_tpu.kernels.flash_attention import flash_attention
+
+    if _ACTIVE_MESH is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from oneprot_tpu.core.mesh import DATA_AXIS
+
+        dp = _ACTIVE_MESH.shape[DATA_AXIS]
+        if q.shape[0] % dp != 0:
+            return None
+        spec = P(DATA_AXIS, None, None, None)
+        return shard_map(
+            flash_attention, mesh=_ACTIVE_MESH,
+            in_specs=(spec, spec, spec, None if bias is None else spec),
+            out_specs=spec, check_vma=False,
+        )(q, k, v, bias)
+    return flash_attention(q, k, v, bias)
