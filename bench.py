@@ -92,11 +92,16 @@ def main() -> None:
     print(f"# compile+first step {time.time()-t0:.1f}s loss={float(loss):.3f}",
           file=sys.stderr)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     for _ in range(STEPS):
         state, loss = module.train_step(state, "struct_token", seq_ids, st_ids)
-    jax.block_until_ready(loss)
+    float(loss)  # full sync (block_until_ready is lazy through axon)
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     pairs_per_sec = BATCH * max(n_chips, 1) * STEPS / dt
     per_chip = pairs_per_sec / max(n_chips, 1)

@@ -73,17 +73,21 @@ def _canonical_bias(bias, B, Lk):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 *, block_k, lk, scale):
-    q = q_ref[0].astype(jnp.float32) * scale          # [bq, D]
+    # operands stay in the input dtype (bf16 in production) so the MXU runs
+    # native bf16 passes; accumulation/softmax stats are fp32 via
+    # preferred_element_type (fp32 operands would cost ~4x MXU throughput)
+    in_dtype = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, in_dtype)        # [bq, D]
     block_q, d = q.shape
     num_k = lk // block_k
 
     def body(i, carry):
         acc, m_prev, l_prev = carry                    # [bq,D],[bq,1],[bq,1]
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [bq, bk]
+            preferred_element_type=jnp.float32)        # [bq, bk] fp32
         s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
@@ -91,7 +95,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         p = jnp.exp(s - m_new)
         l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(in_dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -152,23 +156,24 @@ def _fwd(q, k, v, bias):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, *, block_k, lk, scale):
-    q = q_ref[0].astype(jnp.float32) * scale
-    do = do_ref[0].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, in_dtype)
+    do = do_ref[0]
     lse = lse_ref[0][:, 0:1]                           # [bq, 1]
     delta = delta_ref[0][:, 0:1]
     block_q, d = q.shape
     num_k = lk // block_k
 
     def body(i, dq_acc):
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(in_dtype)
         return dq_acc + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -179,28 +184,31 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, block_q, lq, scale):
-    k_blk = k_ref[0].astype(jnp.float32)               # [bk, D]
-    v_blk = v_ref[0].astype(jnp.float32)
+    in_dtype = k_ref.dtype
+    k_blk = k_ref[0]                                   # [bk, D]
+    v_blk = v_ref[0]
     bias_blk = bias_ref[0].astype(jnp.float32)         # [1, bk]
     block_k, d = k_blk.shape
     num_q = lq // block_q
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(
+            scale, in_dtype)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s + bias_blk
-        p = jnp.exp(s - lse)                           # [bq, bk]
+        p = jnp.exp(s - lse)                           # [bq, bk] fp32
+        p_lo = p.astype(in_dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p_lo, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(in_dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -46,7 +46,28 @@ BERT_SIZES = {
 
 
 def resolve_bert_config(name_or_path: str, vocab_size: Optional[int] = None) -> BertConfig:
-    key = name_or_path.split("/")[-1].lower()
+    import json
+    import os
+
+    cfg_json = os.path.join(name_or_path, "config.json")
+    if os.path.isfile(cfg_json):
+        with open(cfg_json) as f:
+            hf = json.load(f)
+        cfg = BertConfig(
+            vocab_size=int(hf.get("vocab_size", 30522)),
+            hidden_size=int(hf["hidden_size"]),
+            num_layers=int(hf["num_hidden_layers"]),
+            num_heads=int(hf["num_attention_heads"]),
+            intermediate_size=int(hf["intermediate_size"]),
+            max_position_embeddings=int(hf.get("max_position_embeddings", 512)),
+            type_vocab_size=int(hf.get("type_vocab_size", 2)),
+            pad_token_id=int(hf.get("pad_token_id", 0)),
+            layer_norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+        )
+        if vocab_size is not None:
+            cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
+        return cfg
+    key = name_or_path.rstrip("/").split("/")[-1].lower()
     for prefix, cfg in BERT_SIZES.items():
         if key.startswith(prefix):
             if vocab_size is not None:

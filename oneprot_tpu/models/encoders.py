@@ -44,6 +44,7 @@ class SequenceEncoder(nn.Module):
     frozen: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    pretrained_dir: Optional[str] = None  # local HF checkpoint dir
 
     @nn.compact
     def __call__(self, input_ids: jax.Array) -> jax.Array:
@@ -80,6 +81,7 @@ class StructTokenEncoder(nn.Module):
     learnable_logit_scale: bool = False
     dtype: Any = jnp.float32
     remat: bool = False
+    pretrained_dir: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_ids: jax.Array) -> jax.Array:
@@ -112,6 +114,7 @@ class TextEncoder(nn.Module):
     frozen: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    pretrained_dir: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_ids: jax.Array) -> jax.Array:
@@ -240,6 +243,23 @@ class OneProtModel(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _local_hf_dir(name_or_path: str) -> Optional[str]:
+    """A local HF checkpoint directory (config.json + weights) or None.
+
+    The reference pulls weights from the HF hub at construction time
+    (sequence_encoder.py:50-55); the TPU build loads from a local snapshot
+    directory when one is given (hub names stay valid for architecture
+    selection, weights then start random)."""
+    import os
+
+    if name_or_path and os.path.isdir(name_or_path) and (
+        os.path.isfile(os.path.join(name_or_path, "model.safetensors"))
+        or os.path.isfile(os.path.join(name_or_path, "pytorch_model.bin"))
+    ):
+        return name_or_path
+    return None
+
+
 def _dtype(name) -> Any:
     if name in (None, "float32", "fp32"):
         return jnp.float32
@@ -265,9 +285,11 @@ def create_sequence_encoder(
     dtype: Any = "float32",
     remat: bool = False,
 ) -> SequenceEncoder:
-    del pretrained, lora_dropout, lora_target_modules  # weights/dropout handled elsewhere
+    del lora_dropout, lora_target_modules  # dropout rates are 0 in eval path
+    pretrained_dir = _local_hf_dir(model_name_or_path) if pretrained else None
     cfg = resolve_esm2_config(model_name_or_path)
     return SequenceEncoder(
+        pretrained_dir=pretrained_dir,
         config=cfg,
         output_dim=output_dim,
         pooling_type=pooling_type,
@@ -295,6 +317,7 @@ def create_struct_token_encoder(
     cfg = resolve_esm2_config(model_name_or_path)
     cfg = dataclasses.replace(cfg, vocab_size=cfg.vocab_size + STRUCT_EXTRA_TOKENS)
     return StructTokenEncoder(
+        pretrained_dir=_local_hf_dir(model_name_or_path),
         config=cfg,
         output_dim=output_dim,
         pooling_type=pooling_type,
@@ -326,6 +349,7 @@ def create_text_encoder(
     del lora_dropout, lora_target_modules
     cfg = resolve_bert_config(model_name_or_path, vocab_size=vocab_size)
     return TextEncoder(
+        pretrained_dir=_local_hf_dir(model_name_or_path),
         config=cfg,
         output_dim=output_dim,
         pooling_type=pooling_type,

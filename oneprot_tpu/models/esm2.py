@@ -65,8 +65,30 @@ ESM2_SIZES = {
 
 
 def resolve_esm2_config(name_or_path: str, vocab_size: Optional[int] = None) -> Esm2Config:
-    """Map HF-style names ('facebook/esm2_t33_650M_UR50D') to configs."""
-    key = name_or_path.split("/")[-1]
+    """Map HF-style names ('facebook/esm2_t33_650M_UR50D') or local HF
+    checkpoint dirs (config.json) to configs."""
+    import json
+    import os
+
+    cfg_json = os.path.join(name_or_path, "config.json")
+    if os.path.isfile(cfg_json):
+        with open(cfg_json) as f:
+            hf = json.load(f)
+        cfg = Esm2Config(
+            vocab_size=int(hf.get("vocab_size", 33)),
+            hidden_size=int(hf["hidden_size"]),
+            num_layers=int(hf["num_hidden_layers"]),
+            num_heads=int(hf["num_attention_heads"]),
+            intermediate_size=int(hf["intermediate_size"]),
+            pad_token_id=int(hf.get("pad_token_id", 1)),
+            mask_token_id=int(hf.get("mask_token_id", 32)),
+            token_dropout=bool(hf.get("token_dropout", True)),
+            layer_norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        )
+        if vocab_size is not None:
+            cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
+        return cfg
+    key = name_or_path.rstrip("/").split("/")[-1]
     for prefix, cfg in ESM2_SIZES.items():
         if key.startswith(prefix):
             if vocab_size is not None:

@@ -145,6 +145,75 @@ def convert_bert_state_dict(
 
 
 # ---------------------------------------------------------------------------
+# fair-esm MSA-Transformer (.pt) -> MsaTransformer params
+# ---------------------------------------------------------------------------
+
+
+def load_fairesm_checkpoint(pt_path: str) -> Dict[str, np.ndarray]:
+    """Load a fair-esm .pt (the reference loads esm_msa1b from a local .pt,
+    reference msa_encoder.py:18)."""
+    import torch
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def convert_msa1b_state_dict(
+    state_dict: Mapping[str, Any], num_layers: int
+) -> Dict[str, Any]:
+    """fair-esm MSATransformer state dict -> MsaTransformer flax params.
+
+    Name mapping (fair-esm AxialTransformerLayer wraps each sublayer in a
+    NormalizedResidualBlock): layers.{i}.row_self_attention.{layer_norm,
+    layer.{q,k,v,out}_proj} etc. The learned column positions are stored with
+    fair-esm's padding-idx offset (+2 rows); real MSA rows are left-aligned,
+    so absolute indexing after dropping the first two rows is equivalent.
+    """
+    sd = {k.removeprefix("encoder.").removeprefix("sentence_encoder."): _np(v)
+          for k, v in state_dict.items()}
+
+    def lin(name):
+        return {"kernel": sd[f"{name}.weight"].T, "bias": sd[f"{name}.bias"]}
+
+    def ln(name):
+        return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+    msa_pos = sd["msa_position_embedding"]
+    msa_pos = msa_pos.reshape(msa_pos.shape[-3], 1, msa_pos.shape[-1]) \
+        if msa_pos.ndim == 4 else msa_pos
+    params: Dict[str, Any] = {
+        "embed_tokens": sd["embed_tokens.weight"],
+        "embed_positions": sd["embed_positions.weight"][2:],
+        "msa_position_embedding": msa_pos,
+        "emb_ln_before": ln("emb_layer_norm_before"),
+        "emb_ln_after": ln("emb_layer_norm_after"),
+    }
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "row_ln": ln(f"{p}.row_self_attention.layer_norm"),
+            "row_attn": {
+                "q": lin(f"{p}.row_self_attention.layer.q_proj"),
+                "k": lin(f"{p}.row_self_attention.layer.k_proj"),
+                "v": lin(f"{p}.row_self_attention.layer.v_proj"),
+                "o": lin(f"{p}.row_self_attention.layer.out_proj"),
+            },
+            "col_ln": ln(f"{p}.column_self_attention.layer_norm"),
+            "col_attn": {
+                "q": lin(f"{p}.column_self_attention.layer.q_proj"),
+                "k": lin(f"{p}.column_self_attention.layer.k_proj"),
+                "v": lin(f"{p}.column_self_attention.layer.v_proj"),
+                "o": lin(f"{p}.column_self_attention.layer.out_proj"),
+            },
+            "ffn_ln": ln(f"{p}.feed_forward_layer.layer_norm"),
+            "fc1": lin(f"{p}.feed_forward_layer.layer.fc1"),
+            "fc2": lin(f"{p}.feed_forward_layer.layer.fc2"),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
 # peft LoRA adapters (q/k/v)
 # ---------------------------------------------------------------------------
 

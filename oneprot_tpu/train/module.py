@@ -47,6 +47,24 @@ class TrainState:
     opt_state: Any
 
 
+def _graft(target: Any, source: Any) -> Any:
+    """Overlay `source` values onto `target`, keeping target-only leaves and
+    casting to the target leaf dtype."""
+    if isinstance(target, dict):
+        out = {}
+        for k, v in target.items():
+            if isinstance(source, dict) and k in source:
+                out[k] = _graft(v, source[k])
+            else:
+                out[k] = v
+        return out
+    arr = jnp.asarray(source)
+    if arr.shape != target.shape:
+        raise ValueError(
+            f"pretrained shape {arr.shape} != model shape {target.shape}")
+    return arr.astype(target.dtype)
+
+
 class OneProtModule:
     def __init__(
         self,
@@ -111,6 +129,7 @@ class OneProtModule:
             {"params": rng, "dropout": jax.random.key(self.seed + 1),
              "augment": jax.random.key(self.seed + 2)},
             examples, method=OneProtModel.encode_all)["params"]
+        params = self._load_pretrained(params)
         self.mask = optim_lib.trainable_mask(params, self.encoders)
         if self.frozen_param_dtype in ("bfloat16", "bf16"):
             # frozen leaves never meet an optimizer: store them bf16. Halves
@@ -141,6 +160,41 @@ class OneProtModule:
             kernels_lib.set_active_mesh(self.mesh)
         self.state = state
         return state
+
+    def _load_pretrained(self, params):
+        """Replace transformer subtrees with converted HF weights for any
+        encoder constructed from a local checkpoint dir (the reference's
+        AutoModel.from_pretrained path, sequence_encoder.py:50-55)."""
+        from oneprot_tpu.models import encoders as enc_lib
+        from oneprot_tpu.models.hf_convert import (
+            convert_bert_state_dict,
+            convert_esm2_state_dict,
+            load_torch_state_dict,
+        )
+
+        for name, enc in self.encoders.items():
+            hf_dir = getattr(enc, "pretrained_dir", None)
+            if not hf_dir:
+                continue
+            key = f"encoders_{name}"
+            if key not in params or "transformer" not in params[key]:
+                continue
+            sd = load_torch_state_dict(hf_dir)
+            if isinstance(enc, (enc_lib.SequenceEncoder,
+                                enc_lib.StructTokenEncoder)):
+                extra = enc.config.vocab_size - 33
+                converted = convert_esm2_state_dict(
+                    sd, enc.config.num_layers,
+                    extra_vocab_rows=max(extra, 0), seed=self.seed)
+            elif isinstance(enc, enc_lib.TextEncoder):
+                converted = convert_bert_state_dict(sd, enc.config.num_layers)
+            else:
+                continue
+            # keep randomly-initialized leaves the checkpoint doesn't cover
+            # (LoRA factors) and preserve shapes/dtypes
+            target = params[key]["transformer"]
+            params[key]["transformer"] = _graft(target, converted)
+        return params
 
     # -- loss ---------------------------------------------------------------
 

@@ -44,8 +44,14 @@ class Trainer:
         mesh: Optional[Dict[str, int]] = None,
         profiler: Optional[str] = None,
         default_root_dir: Optional[str] = None,
+        detect_anomaly: bool = False,
         **unused: Any,
     ):
+        if detect_anomaly:
+            # TPU equivalent of torch.autograd.detect_anomaly (reference
+            # configs/debug/default.yaml:31): fail fast on NaNs in any
+            # jitted computation
+            jax.config.update("jax_debug_nans", True)
         self.min_epochs = min_epochs
         self.max_epochs = max_epochs
         self.accelerator = accelerator

@@ -1,0 +1,59 @@
+"""MSA-1b checkpoint conversion: mapping completeness + forward runs."""
+
+import numpy as np
+import pytest
+
+from oneprot_tpu.models.hf_convert import convert_msa1b_state_dict
+from oneprot_tpu.models.msa_transformer import MsaTransformer, MsaTransformerConfig
+
+
+def _fake_fairesm_sd(layers=2, d=32, ffn=64, vocab=33):
+    rng = np.random.RandomState(0)
+    sd = {
+        "embed_tokens.weight": rng.randn(vocab, d).astype(np.float32),
+        "embed_positions.weight": rng.randn(1026 + 2, d).astype(np.float32),
+        "msa_position_embedding": rng.randn(1, 1024, 1, d).astype(np.float32),
+        "emb_layer_norm_before.weight": np.ones(d, np.float32),
+        "emb_layer_norm_before.bias": np.zeros(d, np.float32),
+        "emb_layer_norm_after.weight": np.ones(d, np.float32),
+        "emb_layer_norm_after.bias": np.zeros(d, np.float32),
+    }
+    for i in range(layers):
+        for block, prefix in (("row_self_attention", "row"),
+                              ("column_self_attention", "col")):
+            sd[f"layers.{i}.{block}.layer_norm.weight"] = np.ones(d, np.float32)
+            sd[f"layers.{i}.{block}.layer_norm.bias"] = np.zeros(d, np.float32)
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[f"layers.{i}.{block}.layer.{proj}.weight"] = (
+                    rng.randn(d, d).astype(np.float32) * 0.05)
+                sd[f"layers.{i}.{block}.layer.{proj}.bias"] = np.zeros(
+                    d, np.float32)
+        sd[f"layers.{i}.feed_forward_layer.layer_norm.weight"] = np.ones(
+            d, np.float32)
+        sd[f"layers.{i}.feed_forward_layer.layer_norm.bias"] = np.zeros(
+            d, np.float32)
+        sd[f"layers.{i}.feed_forward_layer.layer.fc1.weight"] = (
+            rng.randn(ffn, d).astype(np.float32) * 0.05)
+        sd[f"layers.{i}.feed_forward_layer.layer.fc1.bias"] = np.zeros(
+            ffn, np.float32)
+        sd[f"layers.{i}.feed_forward_layer.layer.fc2.weight"] = (
+            rng.randn(d, ffn).astype(np.float32) * 0.05)
+        sd[f"layers.{i}.feed_forward_layer.layer.fc2.bias"] = np.zeros(
+            d, np.float32)
+    return sd
+
+
+def test_msa1b_conversion_loads_and_runs():
+    import jax.numpy as jnp
+
+    cfg = MsaTransformerConfig(hidden_size=32, num_layers=2, num_heads=2,
+                               intermediate_size=64)
+    params = convert_msa1b_state_dict(_fake_fairesm_sd(), cfg.num_layers)
+    assert params["embed_positions"].shape == (1026, 32)
+    assert params["msa_position_embedding"].shape == (1024, 1, 32)
+    tokens = np.zeros((1, 3, 8), np.int32)
+    tokens[:, :, 0] = 0
+    tokens[0, 2, 4:] = 1
+    out = MsaTransformer(cfg).apply({"params": params}, jnp.asarray(tokens))
+    assert out.shape == (1, 3, 8, 32)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,87 @@
+"""Parallelism numerics: the GSPMD-sharded train step must equal the
+single-device step bit-closely — DP over 'data', TP over 'model'."""
+
+import jax
+import numpy as np
+import pytest
+
+from oneprot_tpu.core.mesh import make_mesh
+from oneprot_tpu.models.encoders import (
+    create_sequence_encoder,
+    create_struct_token_encoder,
+)
+from oneprot_tpu.train.module import OneProtModule
+from oneprot_tpu.train.optim import adam
+
+
+def _build(mesh):
+    seq = create_sequence_encoder(
+        model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+        proj_type="mlp", frozen=False, dtype="float32")
+    st = create_struct_token_encoder(
+        model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+        dtype="float32")
+    return OneProtModule(
+        components={"sequence": seq, "struct_token": st},
+        optimizer=lambda: adam(1e-3), use_l1_regularization=True,
+        mesh=mesh, seed=0, frozen_param_dtype=None)
+
+
+@pytest.fixture(scope="module")
+def tiny(request):
+    from oneprot_tpu.models import esm2
+
+    orig = esm2.ESM2_SIZES["esm2_t6_8M"]
+    esm2.ESM2_SIZES["esm2_t6_8M"] = esm2.Esm2Config(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64)
+    yield
+    esm2.ESM2_SIZES["esm2_t6_8M"] = orig
+
+
+def _ids(vhi, seed, batch=8, length=16):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(4, vhi, size=(batch, length)).astype(np.int32)
+    ids[:, 0] = 0
+    ids[:, -1] = 2
+    return ids
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_step_matches_single_device(tiny, mesh_shape):
+    seq_ids = _ids(24, 0)
+    st_ids = _ids(54, 1)
+
+    single = _build(mesh=None)
+    single.init({"struct_token": (seq_ids, st_ids)})
+    s1, loss1 = single.train_step(single.state, "struct_token", seq_ids, st_ids)
+    s1, loss1b = single.train_step(s1, "struct_token", seq_ids, st_ids)
+
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1],
+                     devices=jax.devices()[:8])
+    sharded = _build(mesh=mesh)
+    sharded.init({"struct_token": (seq_ids, st_ids)})
+    s2, loss2 = sharded.train_step(sharded.state, "struct_token", seq_ids, st_ids)
+    s2, loss2b = sharded.train_step(s2, "struct_token", seq_ids, st_ids)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(loss1b), float(loss2b), rtol=1e-4)
+
+    # parameters after two steps agree
+    p1 = jax.tree.leaves(s1.params)
+    p2 = jax.tree.leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_tp_params_actually_sharded(tiny):
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    module = _build(mesh=mesh)
+    module.init({"struct_token": (_ids(24, 0), _ids(54, 1))})
+    fc1 = module.state.params["encoders_sequence"]["transformer"][
+        "layer_0"]["fc1"]["kernel"]
+    spec = fc1.sharding.spec
+    assert tuple(spec) == (None, "model")
+    o = module.state.params["encoders_sequence"]["transformer"][
+        "layer_0"]["attn"]["o"]["kernel"]
+    assert tuple(o.sharding.spec) == ("model", None)

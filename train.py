@@ -97,10 +97,38 @@ def train(cfg) -> dict:
     return metrics
 
 
-def main(argv=None) -> dict:
+def expand_multirun(overrides):
+    """hydra-style `-m a=1,2 b=x,y` -> cartesian product of override sets."""
+    import itertools
+
+    choices = []
+    for ov in overrides:
+        key, sep, val = ov.partition("=")
+        if sep and "," in val and not val.startswith("["):
+            choices.append([f"{key}={v}" for v in val.split(",")])
+        else:
+            choices.append([ov])
+    return [list(combo) for combo in itertools.product(*choices)]
+
+
+def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "configs")
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        if flag in argv:
+            argv.remove(flag)
+            multirun = True
+    if multirun:
+        all_metrics = []
+        for i, combo in enumerate(expand_multirun(argv)):
+            log.info(f"multirun job {i}: {combo}")
+            cfg = load_config(config_dir, "train", overrides=combo)
+            cfg = prepare_run_dir(cfg)
+            extras(cfg)
+            all_metrics.append(train(cfg))
+        return all_metrics
     cfg = load_config(config_dir, "train", overrides=argv)
     cfg = prepare_run_dir(cfg)
     extras(cfg)
@@ -109,6 +137,7 @@ def main(argv=None) -> dict:
 
 if __name__ == "__main__":
     metrics = main()
-    printable = {k: round(float(v), 4) for k, v in metrics.items()
-                 if isinstance(v, (int, float))}
-    log.info(f"final metrics: {printable}")
+    for m in metrics if isinstance(metrics, list) else [metrics]:
+        printable = {k: round(float(v), 4) for k, v in m.items()
+                     if isinstance(v, (int, float))}
+        log.info(f"final metrics: {printable}")
