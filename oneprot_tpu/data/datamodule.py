@@ -13,8 +13,6 @@ and seeded numpy RNG per batch for reproducible augmentations.
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -43,13 +41,15 @@ class DataLoader:
     background thread prefetch."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False, prefetch: int = 2):
+                 seed: int = 0, drop_last: bool = False, prefetch: int = 2,
+                 num_workers: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -77,28 +77,37 @@ class DataLoader:
                 yield self.dataset.collate_fn(
                     items, rng=np.random.RandomState(rng_seed + b))
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        _SENTINEL = object()
+        # multi-threaded collate with in-order delivery: collate does HDF5
+        # IO + tokenization + graph building (the host hot loop, SURVEY §3.5);
+        # numpy/h5py release the GIL, so threads scale on the host CPUs
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker():
-            try:
-                for b, items in enumerate(self._batches()):
-                    q.put(self.dataset.collate_fn(
-                        items, rng=np.random.RandomState(rng_seed + b)))
-            except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
-            finally:
-                q.put(_SENTINEL)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        batches = list(self._batches())
+        workers = max(1, self.num_workers)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = []
+            depth = max(self.prefetch, workers) * 2
+            it = iter(enumerate(batches))
+            submitted = 0
+            for b, items in it:
+                futures.append(pool.submit(
+                    self.dataset.collate_fn, items,
+                    rng=np.random.RandomState(rng_seed + b)))
+                submitted += 1
+                if submitted >= depth:
+                    break
+            next_to_submit = submitted
+            i = 0
+            while i < len(futures):
+                result = futures[i].result()
+                i += 1
+                if next_to_submit < len(batches):
+                    b, items = next_to_submit, batches[next_to_submit]
+                    futures.append(pool.submit(
+                        self.dataset.collate_fn, items,
+                        rng=np.random.RandomState(rng_seed + b)))
+                    next_to_submit += 1
+                yield result
 
 
 class CombinedLoader:
@@ -146,7 +155,7 @@ class OneProtDataModule:
         seed: int = 0,
     ):
         self.modalities = modalities
-        self.num_workers = num_workers  # surface parity; threads used instead
+        self.num_workers = num_workers  # collate thread-pool width
         self.default_batch_size = default_batch_size
         self.buckets = list(buckets) if buckets else None
         self.prefetch = prefetch
@@ -187,6 +196,7 @@ class OneProtDataModule:
             iterables[modality] = DataLoader(
                 self.datasets[key], batch_size=int(batch_size),
                 shuffle=shuffle, seed=self.seed, prefetch=self.prefetch,
+                num_workers=self.num_workers,
                 # static shapes + even DP sharding for train (val/test keep
                 # every item; the module replicates ragged tail batches)
                 drop_last=shuffle)

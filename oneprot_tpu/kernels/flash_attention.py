@@ -22,8 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
+_LOG2E = 1.4426950408889634  # softmax in exp2 domain (exp2 is cheaper on the VPU)
 _NEG_INF = -1e30
 _LSE_LANES = 8
 
@@ -88,11 +89,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # [bq, bk] fp32
-        s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = (s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(
+            jnp.float32)) * _LOG2E                     # base-2 domain
         m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        corr = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jax.lax.dot_general(
             p.astype(in_dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -105,8 +107,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     acc, m_fin, l_fin = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
     l_safe = jnp.maximum(l_fin, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = m_fin + jnp.log(l_safe)                      # [bq, 1]
-    lse_ref[0] = jnp.broadcast_to(lse, (block_q, _LSE_LANES)).astype(jnp.float32)
+    lse2 = m_fin + jnp.log2(l_safe)                    # [bq, 1], base-2
+    lse_ref[0] = jnp.broadcast_to(lse2, (block_q, _LSE_LANES)).astype(jnp.float32)
 
 
 def _fwd(q, k, v, bias):
@@ -169,8 +171,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        p = jnp.exp(s - lse)
+        s = (s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(
+            jnp.float32)) * _LOG2E
+        p = jnp.exp2(s - lse)                          # lse is base-2
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - delta)).astype(in_dtype)
@@ -200,8 +203,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s + bias_blk
-        p = jnp.exp(s - lse)                           # [bq, bk] fp32
+        s = (s + bias_blk) * _LOG2E
+        p = jnp.exp2(s - lse)                          # [bq, bk]; lse base-2
         p_lo = p.astype(in_dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
             p_lo, do, (((0,), (0,)), ((), ())),

@@ -25,6 +25,44 @@ from oneprot_tpu.utils.loggers import CsvLogger, MultiLogger, get_pylogger
 log = get_pylogger(__name__)
 
 
+class EarlyStopping:
+    """Stop on monitored-metric plateau or non-finite values
+    (reference configs/callbacks/early_stopping.yaml incl. check_finite)."""
+
+    def __init__(self, monitor: str = "val/loss_best", min_delta: float = 0.0,
+                 patience: int = 3, mode: str = "min",
+                 check_finite: bool = True, **unused: Any):
+        self.monitor = monitor
+        self.min_delta = min_delta
+        self.patience = patience
+        self.mode = mode
+        self.check_finite = check_finite
+        self.best: Optional[float] = None
+        self.bad = 0
+
+    def should_stop(self, metrics: Dict[str, float]) -> bool:
+        value = metrics.get(self.monitor)
+        if value is None:
+            return False
+        value = float(value)
+        if self.check_finite and not np.isfinite(value):
+            log.warning(f"EarlyStopping: {self.monitor} is non-finite")
+            return True
+        improved = (self.best is None
+                    or (self.mode == "min" and value < self.best - self.min_delta)
+                    or (self.mode == "max" and value > self.best + self.min_delta))
+        if improved:
+            self.best = value
+            self.bad = 0
+            return False
+        self.bad += 1
+        if self.bad > self.patience:
+            log.info(f"EarlyStopping: no {self.monitor} improvement for "
+                     f"{self.bad} validations")
+            return True
+        return False
+
+
 class Trainer:
     def __init__(
         self,
@@ -115,6 +153,9 @@ class Trainer:
                 dirpath=cb_cfg["peft_checkpoint"].get(
                     "dirpath", os.path.join(dirpath, "peft")),
                 num_layers=num_layers)
+        if "early_stopping" in cb_cfg:
+            self.callbacks["early_stopping"] = EarlyStopping(
+                **dict(cb_cfg["early_stopping"]))
         if getattr(module, "scheduler_cfg", None):
             from oneprot_tpu.train.scheduler import ReduceLROnPlateau
 
@@ -168,6 +209,10 @@ class Trainer:
                                              val_loss_best, epoch)
                 if (epoch + 1) % self.check_val_every_n_epoch == 0:
                     self._run_validation(module, datamodule, val_loss_best, epoch)
+                es = self.callbacks.get("early_stopping")
+                if (es is not None and epoch + 1 >= self.min_epochs
+                        and es.should_stop(self.metrics_history)):
+                    stop = True
                 log.info(
                     f"epoch {epoch}: steps={self.global_step} "
                     f"train/loss={train_loss.compute():.4f} "
