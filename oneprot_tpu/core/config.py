@@ -116,6 +116,11 @@ class _Resolver:
             name, _, arg = expr.partition(":")
             if name in self.resolvers:
                 return self.resolvers[name](arg)
+            if name == "now":
+                import datetime
+
+                return datetime.datetime.now().strftime(
+                    arg.strip() or "%Y-%m-%d_%H-%M-%S")
             if name == "oc.env":
                 parts = arg.split(",", 1)
                 var = parts[0].strip()
@@ -522,14 +527,30 @@ def prepare_run_dir(cfg: ConfigNode, output_dir: Optional[str] = None) -> Config
     if output_dir is None:
         stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         # resolve paths.* first so log_dir interpolations are concrete
-        pre = _Resolver(cfg, resolvers={"hydra": lambda a: ""})
-        try:
-            root = pre.resolve_tree(cfg.get("paths", {}), ("paths",)).get(
-                "log_dir", "logs")
-        except InterpolationError:
-            root = "logs"
-        task = cfg.get("task_name", "run")
-        output_dir = os.path.join(str(root), str(task), "runs", stamp)
+        pre = _Resolver(cfg, resolvers={"hydra": lambda a: "",
+                                        "now": lambda a: stamp})
+        run_dir_tmpl = ((cfg.get("hydra") or {}).get("run") or {}).get("dir")
+        if run_dir_tmpl:
+            # hydra.run.dir template (configs/hydra/default.yaml surface);
+            # ${now:...} expands to the run timestamp
+            try:
+                output_dir = str(pre.resolve_value(
+                    str(run_dir_tmpl).replace("${now}", stamp),
+                    ("hydra", "run")))
+            except InterpolationError:
+                output_dir = None
+        if output_dir is None:
+            try:
+                root = pre.resolve_tree(cfg.get("paths", {}), ("paths",)).get(
+                    "log_dir", "logs")
+            except InterpolationError:
+                root = "logs"
+            task = cfg.get("task_name", "run")
+            output_dir = os.path.join(str(root), str(task), "runs", stamp)
+    # pin the concrete run dir into hydra.run.dir so the template's ${now}
+    # never reaches the final resolve
+    if isinstance(cfg.get("hydra"), dict):
+        cfg = merge(cfg, {"hydra": {"run": {"dir": output_dir}}})
     resolvers = {
         "hydra": lambda arg: {
             "runtime.output_dir": output_dir,

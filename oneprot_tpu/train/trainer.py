@@ -175,6 +175,7 @@ class Trainer:
 
         train_loss = MeanMetric()
         val_loss_best = MinMetric()
+        pending_losses = []
         stop = False
         if self.profiler == "jax":
             jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
@@ -195,18 +196,31 @@ class Trainer:
                         module.state, loss = module.train_step(
                             module.state, modality, seq_in, mod_in)
                         self.global_step += 1
-                        loss_val = float(loss)
-                        train_loss.update(loss_val)
+                        # keep the loss on device: a float() here would sync
+                        # every step and stall the host->device pipeline;
+                        # losses are fetched in a batch at logging points
+                        pending_losses.append((self.global_step, modality, loss))
                         if self.global_step % self.log_every_n_steps == 0:
+                            for _, mod_name, l in pending_losses:
+                                train_loss.update(float(l))
+                            last_mod, last_loss = (pending_losses[-1][1],
+                                                   float(pending_losses[-1][2]))
+                            pending_losses.clear()
                             self.logger.log_metrics(
                                 {"train/loss": train_loss.compute(),
-                                 f"train/loss_{modality}": loss_val,
+                                 f"train/loss_{last_mod}": last_loss,
                                  "epoch": epoch},
                                 self.global_step)
                     if (self.val_check_interval
                             and self.global_step % self.val_check_interval == 0):
+                        for _, _, l in pending_losses:
+                            train_loss.update(float(l))
+                        pending_losses.clear()
                         self._run_validation(module, datamodule,
                                              val_loss_best, epoch)
+                for _, _, l in pending_losses:
+                    train_loss.update(float(l))
+                pending_losses.clear()
                 if (epoch + 1) % self.check_val_every_n_epoch == 0:
                     self._run_validation(module, datamodule, val_loss_best, epoch)
                 es = self.callbacks.get("early_stopping")
