@@ -62,8 +62,20 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # same permutation on every host (seeded), then a per-process
+            # interleaved shard: on multi-host pods each process feeds its
+            # addressable chips distinct data (torch DistributedSampler
+            # semantics; the reference gets this from Lightning DDP)
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
-        for start in range(0, n, self.batch_size):
+        try:
+            import jax
+
+            nproc, rank = jax.process_count(), jax.process_index()
+        except Exception:  # pragma: no cover
+            nproc, rank = 1, 0
+        if nproc > 1:
+            order = order[rank::nproc]
+        for start in range(0, len(order), self.batch_size):
             idxs = order[start:start + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 break

@@ -288,6 +288,15 @@ class OneProtModule:
                     jax.tree.map(jnp.asarray, mod_inputs))
         dp = self.mesh.shape[mesh_lib.DATA_AXIS]
         batch = jax.tree.leaves(seq_inputs)[0].shape[0]
+        nproc = jax.process_count()
+        if nproc > 1:
+            # multi-host: each process holds its own shard of the global
+            # batch (the loader samples rank::nproc); assemble the global
+            # array from process-local data
+            data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+            put = lambda x: jax.make_array_from_process_local_data(
+                data, np.asarray(x))
+            return jax.tree.map(put, seq_inputs), jax.tree.map(put, mod_inputs)
         if batch % dp == 0:
             sharding = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
         else:
