@@ -136,8 +136,7 @@ def embed_all(module, dataset: CombinedDataset, batch_size: int = 16,
     if skipped:
         log.warning(f"model has no encoder for {skipped}; skipping")
     first = {m: first[m] for m in available}
-    module.init({m: (first["sequence"], first[m])
-                 for m in first if m != "sequence"})
+    module.init_for_restore()  # full template: checkpoint has ALL encoders
     if run_dir is not None:
         path = os.path.join(run_dir, "checkpoints", ckpt)
         if os.path.isdir(path):

@@ -48,15 +48,7 @@ class OneProtEmbedder:
         from oneprot_tpu.train.checkpoint import CheckpointManager
 
         module, cfg = load_trained_module(run_dir)
-        tok = esm2_tokenizer()
-        example = tok(["MK"], padding=8)
-        init_examples = {}
-        for name in module.modalities:
-            if name in ("sequence", "seqsim", "struct_token"):
-                init_examples[name] = (example, example)
-        if not init_examples:
-            init_examples["sequence"] = (example, example)
-        module.init(init_examples)
+        module.init_for_restore()
         path = os.path.join(run_dir, "checkpoints", ckpt)
         if os.path.isdir(path):
             module.state = CheckpointManager.restore_path(path, module.state)

@@ -161,6 +161,41 @@ class OneProtModule:
         self.state = state
         return state
 
+    def dummy_examples(self) -> Dict[str, Any]:
+        """Minimal per-modality example inputs covering every encoder —
+        for rebuilding the full param template at restore time (eval/serving)
+        without real data."""
+        from oneprot_tpu.models import encoders as enc_lib
+
+        ids = np.full((1, 8), 1, np.int32)
+        ids[:, 0] = 0
+        examples: Dict[str, Any] = {}
+        for name, enc in self.encoders.items():
+            if isinstance(enc, enc_lib.StructGraphEncoder):
+                n = 8
+                k = 4
+                examples[name] = (ids, {
+                    "aa": np.zeros((1, n), np.int32),
+                    "coords_ca": np.zeros((1, n, 3), np.float32),
+                    "coords_n": np.zeros((1, n, 3), np.float32),
+                    "coords_c": np.zeros((1, n, 3), np.float32),
+                    "bb_embs": np.zeros((1, n, 6), np.float32),
+                    "side_chain_embs": np.zeros((1, n, 8), np.float32),
+                    "node_mask": np.ones((1, n), np.float32),
+                    "neighbor_idx": np.zeros((1, n, k), np.int32),
+                    "neighbor_mask": np.ones((1, n, k), np.float32),
+                })
+            elif isinstance(enc, enc_lib.MsaEncoder):
+                examples[name] = (ids, np.full((1, 2, 8), 1, np.int32))
+            else:
+                examples[name] = (ids, ids)
+        return examples
+
+    def init_for_restore(self) -> TrainState:
+        """Initialize the full param/opt template (all encoders) so an Orbax
+        checkpoint of a training run restores structurally."""
+        return self.init(self.dummy_examples())
+
     def _load_pretrained(self, params):
         """Replace transformer subtrees with converted HF weights for any
         encoder constructed from a local checkpoint dir (the reference's

@@ -218,6 +218,11 @@ class Trainer:
                         pending_losses.clear()
                         self._run_validation(module, datamodule,
                                              val_loss_best, epoch)
+                if n_batches == 0:
+                    log.warning(
+                        "epoch produced ZERO combined batches — check that "
+                        "per-modality batch sizes do not exceed dataset "
+                        "sizes (min_size + drop_last drops short loaders)")
                 for _, _, l in pending_losses:
                     train_loss.update(float(l))
                 pending_losses.clear()
@@ -261,12 +266,15 @@ class Trainer:
                   else datamodule.test_dataloader())
         loss_metric = MeanMetric()
         retrieval: Dict[str, RetrievalMetric] = {}
-        n = 0
+        n_per_modality: Dict[str, int] = {}
         for batch in loader:
+            modality = batch[2]
+            # limit applies per modality (the sequential loader streams one
+            # modality at a time; a global cap would starve later ones)
             if (split == "val" and self.limit_val_batches is not None
-                    and n >= self.limit_val_batches * max(len(loader.loaders), 1)):
-                break
-            n += 1
+                    and n_per_modality.get(modality, 0) >= self.limit_val_batches):
+                continue
+            n_per_modality[modality] = n_per_modality.get(modality, 0) + 1
             seq_in, mod_in, modality, _ = batch
             seq_f, mod_f, loss = module.eval_step(
                 module.state.params, modality, seq_in, mod_in)

@@ -34,6 +34,14 @@ def test_all_modalities_train_and_val(tmp_path):
     cfg = prepare_run_dir(cfg, output_dir=str(tmp_path / "run"))
     metrics = train_entry.train(cfg)
     assert np.isfinite(metrics["val/loss"])
+    # every modality actually took optimizer steps (one combined batch of 6
+    # modalities = 6 sub-steps, reference oneprot_module.py:92-107)
+    import json
+
+    with open(str(tmp_path / "run" / "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    assert max(r.get("step", 0) for r in rows) >= 6, \
+        "training took no steps — combined loader was empty"
     for modality in ("struct_token", "text", "struct_graph", "pocket",
                      "msa", "seqsim"):
         key = f"val/seq_to_mod_R@1/val_{modality}"
