@@ -20,3 +20,14 @@ os.environ.setdefault("ONEPROT_USE_PALLAS", "0")  # interpret-mode tests opt in
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite compiles many tiny train/eval steps
+# repeatedly across tests and runs; caching them cuts suite time drastically
+_CACHE_DIR = os.environ.get("ONEPROT_TEST_JIT_CACHE",
+                            "/tmp/oneprot_jit_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without these flags
+    pass

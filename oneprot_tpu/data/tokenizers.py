@@ -80,7 +80,6 @@ class EsmTokenizer:
         pad_to_multiple_of: Optional[int] = None,
     ) -> np.ndarray:
         """Tokenize a batch to a padded int32 array [B, L]."""
-        encoded = [self.encode_ids(s, max_length) for s in sequences]
         if padding == "max_length":
             if max_length is None:
                 raise ValueError("padding='max_length' requires max_length")
@@ -88,7 +87,10 @@ class EsmTokenizer:
         elif isinstance(padding, int):
             target = padding
         else:
-            target = max(len(e) for e in encoded) if encoded else 2
+            lengths = [len(s) + 2 for s in sequences]
+            if max_length is not None:
+                lengths = [min(l, max_length) for l in lengths]
+            target = max(lengths) if lengths else 2
         if pad_to_multiple_of:
             target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
         if max_length is not None:
@@ -102,7 +104,8 @@ class EsmTokenizer:
             pad_to=target)
         if fast is not None:
             return fast
-        out = np.full((len(encoded), target), self.pad_token_id, dtype=np.int32)
+        out = np.full((len(sequences), target), self.pad_token_id,
+                      dtype=np.int32)
         # re-encode with the final target as the hard cap so <eos> survives
         # bucket truncation (HF truncation keeps the final special token)
         cap = target if max_length is None else min(max_length, target)
