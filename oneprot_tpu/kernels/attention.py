@@ -103,6 +103,56 @@ def dot_product_attention(
     return reference_attention(q, k, v, bias)
 
 
+def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None):
+    """Fused [B, L, H*D] flash MHA with in-kernel rotary (the transformer
+    hot path — avoids every reshape/transpose copy around the kernel).
+
+    Returns None when the fused path doesn't apply (caller falls back to
+    the reference path). See oneprot_tpu/kernels/flash_mha.py.
+    """
+    env = os.environ.get("ONEPROT_USE_PALLAS", "auto")
+    if env == "0":
+        return None
+    use_pallas = True if env == "1" else _tpu_available()
+    if not use_pallas:
+        return None
+
+    from oneprot_tpu.kernels import flash_mha
+
+    B, L, hd = q.shape
+    D = hd // num_heads
+    if D > flash_mha.D_PAD or hd % num_heads:
+        return None
+    if not flash_mha.supports(
+            B, num_heads, L, L, None if bias is None else bias.shape):
+        return None
+    if (rope_cos is not None) and (D % 4 != 0):
+        return None  # half-wise padding needs an even half
+
+    fn = lambda q, k, v, bias: flash_mha.mha_attention(
+        q, k, v, num_heads, bias=bias, rope_cos=rope_cos,
+        rope_sin=rope_sin)
+
+    if _ACTIVE_MESH is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from oneprot_tpu.core.mesh import DATA_AXIS
+
+        dp = _ACTIVE_MESH.shape[DATA_AXIS]
+        if B % dp != 0:
+            return None
+        spec3 = P(DATA_AXIS, None, None)
+        spec4 = P(DATA_AXIS, None, None, None)
+        return shard_map(
+            fn, mesh=_ACTIVE_MESH,
+            in_specs=(spec3, spec3, spec3,
+                      None if bias is None else spec4),
+            out_specs=spec3, check_vma=False,
+        )(q, k, v, bias)
+    return fn(q, k, v, bias)
+
+
 def _maybe_sharded_flash(q, k, v, bias):
     """Run the Pallas kernel; under a multi-device mesh, wrap in a shard_map
     over the data axis (pallas_call is opaque to the GSPMD partitioner)."""

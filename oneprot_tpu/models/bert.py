@@ -98,11 +98,19 @@ class BertSelfAttention(nn.Module):
                              lora_alpha=self.lora_alpha, dtype=self.dtype,
                              name=name)(x)
 
-        q = qkv("q").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        k = qkv("k").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        v = qkv("v").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        ctx = dot_product_attention(q, k, v, bias=bias)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
+        q2d, k2d, v2d = qkv("q"), qkv("k"), qkv("v")   # [B, L, H*D]
+
+        # Fused [B, L, H*D] flash MHA (no rotary for BERT) — avoids the
+        # reshape/transpose layout copies around the kernel.
+        from oneprot_tpu.kernels.attention import fused_mha
+
+        ctx = fused_mha(q2d, k2d, v2d, nh, bias=bias)
+        if ctx is None:  # reference path (CPU tests, odd shapes)
+            q = q2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            k = k2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            v = v2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            ctx = dot_product_attention(q, k, v, bias=bias)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
 
 

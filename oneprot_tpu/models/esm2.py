@@ -161,16 +161,23 @@ class Esm2SelfAttention(nn.Module):
                              lora_alpha=self.lora_alpha, dtype=self.dtype,
                              name=name)(x)
 
-        q = qkv("q").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        k = qkv("k").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        v = qkv("v").reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        q2d, k2d, v2d = qkv("q"), qkv("k"), qkv("v")   # [B, L, H*D]
 
-        cos, sin = rotary_cos_sin(L, hd, dtype=q.dtype)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
+        # Hot path: fused [B, L, H*D] flash MHA with in-kernel rotary —
+        # consumes the QKV projections' natural layout (no transposes).
+        from oneprot_tpu.kernels.attention import fused_mha
 
-        ctx = dot_product_attention(q, k, v, bias=bias)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
+        cos, sin = rotary_cos_sin(L, hd, dtype=q2d.dtype)
+        ctx = fused_mha(q2d, k2d, v2d, nh, bias=bias,
+                        rope_cos=cos, rope_sin=sin)
+        if ctx is None:  # reference path (CPU tests, odd shapes)
+            q = q2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            k = k2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            v = v2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+            ctx = dot_product_attention(q, k, v, bias=bias)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
 
 

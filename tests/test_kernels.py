@@ -106,3 +106,114 @@ def test_gather_and_masked_reduce():
     mean = np.asarray(masked_neighbor_mean(msgs, mask))
     denom = np.maximum(np.asarray(mask).sum(-1, keepdims=True), 1e-9)
     np.testing.assert_allclose(mean, want / denom, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused [B, L, H*D] MHA kernel (flash_mha) vs reference path
+# ---------------------------------------------------------------------------
+
+
+def _mha_reference(q2d, k2d, v2d, nh, bias, cos, sin):
+    """The pre-fusion ESM2 attention path (transpose + rotary + softmax)."""
+    from oneprot_tpu.models.esm2 import apply_rotary
+
+    B, L, hd = q2d.shape
+    d = hd // nh
+    q = q2d.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
+    k = k2d.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
+    v = v2d.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
+    if cos is not None:
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+    ctx = reference_attention(q, k, v, bias)
+    return ctx.transpose(0, 2, 1, 3).reshape(B, L, hd)
+
+
+@pytest.mark.parametrize("nh,d,rotary", [
+    (4, 64, True),    # 650M-like head shape
+    (4, 64, False),   # no-rope (BERT-style)
+    (4, 24, True),    # 35M tower: half-wise padding path
+    (2, 16, True),    # 8M: smallest head dim
+])
+def test_mha_attention_fwd_matches_reference(nh, d, rotary):
+    from oneprot_tpu.kernels.flash_mha import mha_attention
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    rng = np.random.RandomState(0)
+    B, L = 2, 256
+    hd = nh * d
+    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    bias = np.zeros((B, 1, 1, L), np.float32)
+    bias[:, :, :, 200:] = -1e9
+    bias = jnp.asarray(bias)
+    cos = sin = None
+    if rotary:
+        cos, sin = rotary_cos_sin(L, d, jnp.float32)
+
+    out = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos, rope_sin=sin,
+                        interpret=True)
+    ref = _mha_reference(q, k, v, nh, bias, cos, sin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("nh,d,rotary", [(4, 64, True), (4, 24, True),
+                                         (4, 64, False)])
+def test_mha_attention_grads_match_reference(nh, d, rotary):
+    from oneprot_tpu.kernels.flash_mha import mha_attention
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    rng = np.random.RandomState(1)
+    B, L = 2, 128
+    hd = nh * d
+    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    bias = np.zeros((B, 1, 1, L), np.float32)
+    bias[:, :, :, 100:] = -1e9
+    bias = jnp.asarray(bias)
+    cos = sin = None
+    if rotary:
+        cos, sin = rotary_cos_sin(L, d, jnp.float32)
+
+    def loss_fused(q, k, v):
+        o = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos,
+                          rope_sin=sin, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_mha_reference(q, k, v, nh, bias, cos, sin)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_mha_attention_multiblock_matches_single():
+    """k-block loop (L > block) agrees with the reference at L=512 when
+    blocks are forced small."""
+    from oneprot_tpu.kernels import flash_mha
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    rng = np.random.RandomState(2)
+    B, L, nh, d = 1, 256, 2, 64
+    hd = nh * d
+    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    cos, sin = rotary_cos_sin(L, d, jnp.float32)
+    old_q, old_k = flash_mha.DEFAULT_BLOCK_Q, flash_mha.DEFAULT_BLOCK_K
+    try:
+        flash_mha.DEFAULT_BLOCK_Q, flash_mha.DEFAULT_BLOCK_K = 128, 128
+        out = flash_mha.mha_attention(q, k, v, nh, rope_cos=cos,
+                                      rope_sin=sin, interpret=True)
+    finally:
+        flash_mha.DEFAULT_BLOCK_Q, flash_mha.DEFAULT_BLOCK_K = old_q, old_k
+    ref = _mha_reference(q, k, v, nh, None, cos, sin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
