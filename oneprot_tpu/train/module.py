@@ -256,7 +256,10 @@ class OneProtModule:
 
     # -- train step ----------------------------------------------------------
 
-    def _build_train_step(self, modality: str):
+    def train_step_fn(self, modality: str):
+        """The raw (un-jitted) train step for `modality` — used by the jit
+        wrapper below and by callers that fuse several steps into one
+        dispatch (bench.py scans it to amortize dispatch latency)."""
         mask = self.mask
         tx = self.tx
 
@@ -279,6 +282,10 @@ class OneProtModule:
             return TrainState(step=state.step + 1, params=new_params,
                               opt_state=new_opt), loss
 
+        return step_fn
+
+    def _build_train_step(self, modality: str):
+        step_fn = self.train_step_fn(modality)
         donate = (0,)
         if self.mesh is not None:
             from oneprot_tpu.core.partitioning import state_shardings
