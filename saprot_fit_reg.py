@@ -11,4 +11,4 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from saprot_fit_cls import main  # noqa: E402
 
 if __name__ == "__main__":
-    main(regression=True)
+    main(regression=True, config_name="saprot_sweep_xgboost_reg.yaml")
