@@ -111,6 +111,70 @@ def expand_multirun(overrides):
     return [list(combo) for combo in itertools.product(*choices)]
 
 
+def extract_sweeper(argv):
+    """Split hydra-sweeper overrides (`hydra/sweeper=optuna`,
+    `hydra.sweeper.<opt>=...`, `hydra.sweeper.params.<key>=<space>`) from the
+    regular overrides. Mirrors the reference's optuna sweep surface
+    (reference tests/test_sweeps.py:59-70)."""
+    sweeper_name = None
+    options = {}
+    params = {}
+    rest = []
+    for ov in argv:
+        key, sep, val = ov.partition("=")
+        key = key.lstrip("+")
+        if key == "hydra/sweeper":
+            sweeper_name = val
+        elif key.startswith("hydra.sweeper.params."):
+            params[key[len("hydra.sweeper.params."):]] = val
+        elif key.startswith("hydra.sweeper."):
+            options[key[len("hydra.sweeper."):]] = val
+        else:
+            rest.append(ov)
+    return sweeper_name, options, params, rest
+
+
+def run_search(sweeper_name, options, params, base_overrides, config_dir):
+    """Sequential ask/tell hyperparameter search over train()."""
+    from oneprot_tpu.core.sweep import make_sweeper
+
+    objective = options.pop("objective", "val/loss")
+    direction = options.pop("direction", "minimize")
+    kwargs = {}
+    for k in ("n_trials", "seed", "n_startup_trials", "n_candidates"):
+        if k in options:
+            kwargs[k] = int(float(options.pop(k)))
+    if "gamma" in options:
+        kwargs["gamma"] = float(options.pop("gamma"))
+    sweeper = make_sweeper(sweeper_name, params, direction=direction,
+                           **kwargs)
+    sign = 1.0 if direction == "minimize" else -1.0
+    all_metrics = []
+    best = (float("inf"), None)
+    trial_idx = 0
+    while True:
+        trial = sweeper.ask()
+        if trial is None:
+            break
+        combo = base_overrides + [f"{k}={v}" for k, v in trial.items()]
+        log.info(f"search trial {trial_idx} ({sweeper_name}): {trial}")
+        cfg = load_config(config_dir, "train", overrides=combo)
+        cfg = prepare_run_dir(cfg)
+        extras(cfg)
+        metrics = train(cfg)
+        value = float(metrics.get(objective, float("nan")))
+        sweeper.tell(trial, value)
+        metrics = dict(metrics)
+        metrics["search/trial"] = trial_idx
+        metrics.update({f"search/{k}": v for k, v in trial.items()})
+        all_metrics.append(metrics)
+        if sign * value < best[0]:
+            best = (sign * value, trial)
+        trial_idx += 1
+    log.info(f"search best {objective}={sign * best[0]:.6f} params={best[1]}")
+    return all_metrics
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -121,8 +185,12 @@ def main(argv=None):
             argv.remove(flag)
             multirun = True
     if multirun:
+        sweeper_name, options, params, rest = extract_sweeper(argv)
+        if sweeper_name not in (None, "basic") and params:
+            return run_search(sweeper_name, options, params, rest,
+                              config_dir)
         all_metrics = []
-        for i, combo in enumerate(expand_multirun(argv)):
+        for i, combo in enumerate(expand_multirun(rest)):
             log.info(f"multirun job {i}: {combo}")
             cfg = load_config(config_dir, "train", overrides=combo)
             cfg = prepare_run_dir(cfg)
