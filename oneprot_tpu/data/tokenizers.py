@@ -339,6 +339,12 @@ def resolve_text_tokenizer(name_or_path: str) -> WordPieceTokenizer:
                 return WordPieceTokenizer(json.load(f))
     if os.path.isfile(name_or_path):
         return WordPieceTokenizer.from_vocab_file(name_or_path)
-    # HF model names can't be downloaded in this environment; fall back to the
-    # tiny vocab so debug/synthetic configs still run end-to-end.
-    return WordPieceTokenizer(tiny_wordpiece_vocab())
+    # A real model name (e.g. the reference's BiomedBERT,
+    # reference src/data/datasets/text_dataset.py:25) without a local vocab
+    # is an error: silently tokenizing with the tiny debug vocab would
+    # poison training quality. Use name "tiny"/"synthetic" explicitly for
+    # hermetic configs, or point at a downloaded checkpoint dir.
+    raise FileNotFoundError(
+        f"text tokenizer {name_or_path!r}: no local vocab.txt/vocab.json "
+        f"found and downloads are unavailable. Pass a local checkpoint "
+        f"dir/vocab file, or use 'tiny' for synthetic debug runs.")

@@ -93,3 +93,17 @@ def test_wordpiece_subwords_and_unk():
     assert "[UNK]" not in toks  # decomposes into chars/##ase
     ids2 = tok.encode_ids("éé")  # chars outside vocab -> UNK
     assert tok.unk_token_id in ids2
+
+
+def test_text_tokenizer_unknown_name_fails_loudly():
+    """A real HF model name without a local vocab must error, not silently
+    fall back to the tiny debug vocab (VERDICT r1 #9)."""
+    import pytest as _pytest
+
+    from oneprot_tpu.data.tokenizers import resolve_text_tokenizer
+
+    with _pytest.raises(FileNotFoundError, match="text tokenizer"):
+        resolve_text_tokenizer(
+            "microsoft/BiomedNLP-BiomedBERT-base-uncased-abstract-fulltext")
+    # explicit tiny names still work
+    assert resolve_text_tokenizer("tiny") is not None
