@@ -110,12 +110,9 @@ def main() -> None:
 
     # persistent compilation cache: the driver re-runs this benchmark every
     # round on the same machine — warm starts skip the multi-minute compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+    from oneprot_tpu.core.mesh import enable_compilation_cache
+
+    enable_compilation_cache(CACHE_DIR)
 
     from oneprot_tpu.models.encoders import (
         create_sequence_encoder,

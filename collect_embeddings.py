@@ -16,6 +16,9 @@ from oneprot_tpu.evaluation.collect_embeddings import run_collection  # noqa: E4
 
 
 def main(argv=None):
+    from oneprot_tpu.core.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "configs")

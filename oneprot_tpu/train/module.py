@@ -237,12 +237,32 @@ class OneProtModule:
         if self.loss_name.upper() == "CLIP":
             loss = clip_loss(mod_feats, seq_feats)
         else:
-            loss = siglip_loss(mod_feats, seq_feats)
+            loss = self._siglip_value(mod_feats, seq_feats)
         if self.use_l1_regularization:
             # reference oneprot_module.py:99-101
             loss = loss + 0.01 * (
                 jnp.mean(jnp.abs(seq_feats)) + jnp.mean(jnp.abs(mod_feats)))
         return loss
+
+    def _siglip_value(self, mod_feats, seq_feats):
+        """SigLIP through its production comm path: under a multi-device
+        mesh the ppermute negative ring runs inside shard_map over the data
+        axis — the actual collective schedule, not a GSPMD choice
+        (reference's NCCL neighbour ring, loss.py:260-309). Falls back to
+        the dense single-shard form for replicated (tail) batches."""
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh is not None else 1
+        if dp > 1 and mod_feats.shape[0] % dp == 0:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(mesh_lib.DATA_AXIS, None)
+            return shard_map(
+                lambda m, s: siglip_loss(m, s,
+                                         axis_name=mesh_lib.DATA_AXIS),
+                mesh=self.mesh, in_specs=(spec, spec), out_specs=P(),
+                check_vma=False,
+            )(mod_feats, seq_feats)
+        return siglip_loss(mod_feats, seq_feats)
 
     def _forward_pair(self, params, modality, seq_inputs, mod_inputs,
                       rngs=None, deterministic=True):

@@ -85,3 +85,46 @@ def test_tp_params_actually_sharded(tiny):
     o = module.state.params["encoders_sequence"]["transformer"][
         "layer_0"]["attn"]["o"]["kernel"]
     assert tuple(o.sharding.spec) == ("model", None)
+
+
+def _build_siglip(mesh):
+    seq = create_sequence_encoder(
+        model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+        proj_type="mlp", frozen=False, dtype="float32")
+    st = create_struct_token_encoder(
+        model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+        dtype="float32")
+    return OneProtModule(
+        components={"sequence": seq, "struct_token": st},
+        optimizer=lambda: adam(1e-3), loss_fn="SIGLIP",
+        mesh=mesh, seed=0, frozen_param_dtype=None)
+
+
+def test_siglip_production_step_numerics_and_ring(tiny):
+    """VERDICT r1 #10: the jitted sharded SigLIP train step must (a) match
+    the single-device numerics and (b) actually communicate through the
+    ppermute ring (collective-permute in the compiled HLO), mirroring the
+    reference's NCCL neighbour ring (reference loss.py:260-309)."""
+    seq_ids = _ids(24, 0)
+    st_ids = _ids(54, 1)
+
+    single = _build_siglip(mesh=None)
+    single.init({"struct_token": (seq_ids, st_ids)})
+    s1, loss1 = single.train_step(single.state, "struct_token", seq_ids,
+                                  st_ids)
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    sharded = _build_siglip(mesh=mesh)
+    sharded.init({"struct_token": (seq_ids, st_ids)})
+    s2, loss2 = sharded.train_step(sharded.state, "struct_token", seq_ids,
+                                   st_ids)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+    # compile-inspect the production step: the ring must be real collectives
+    step_fn = sharded._train_step_cache["struct_token"]
+    import jax.numpy as jnp
+
+    hlo = step_fn.lower(
+        s2, jnp.asarray(seq_ids), jnp.asarray(st_ids)).compile().as_text()
+    assert "collective-permute" in hlo, (
+        "SigLIP step compiled without a ppermute ring")

@@ -36,8 +36,9 @@ def train(cfg) -> dict:
     """Run one training task from a resolved config (reference train.py:26-92)."""
     import jax
 
-    from oneprot_tpu.core.mesh import init_distributed
+    from oneprot_tpu.core.mesh import enable_compilation_cache, init_distributed
 
+    enable_compilation_cache()
     init_distributed()
     seed = int(cfg.get("seed", 0))
     os.environ.setdefault("ONEPROT_SEED", str(seed))
