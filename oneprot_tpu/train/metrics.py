@@ -3,9 +3,11 @@
 Re-implements the reference RetrievalMetric (reference src/models/components/
 retrieval_metric.py:59-99): accumulate (sequence, modality) feature pairs
 over the val/test epoch, then rank by dense similarity. The torchmetrics
-cross-rank `dist_reduce_fx="cat"` is unnecessary here: features come back
-from the jitted eval step as process-local numpy; on multi-host, each host
-holds its addressable shard and ranks are computed on the gathered pool.
+cross-rank `dist_reduce_fx="cat"` (retrieval_metric.py:68-69) becomes
+`gather_features`: on multi-process runs, eval-step outputs are global
+sharded arrays whose non-addressable shards can't be materialized locally —
+they are all-gathered across processes before ranking, so every host ranks
+the identical global pool.
 
 The ranking itself runs on device when pools are large (matmul + argsort on
 the MXU); val pools are capped at 1000 (reference dataset __len__ caps).
@@ -16,6 +18,21 @@ from __future__ import annotations
 from typing import Dict, List, Sequence
 
 import numpy as np
+
+
+def gather_features(x) -> np.ndarray:
+    """Materialize eval features as a full host array on every process.
+
+    Single-process: plain np.asarray. Multi-process: all-gather the
+    non-addressable shards (the reference's torchmetrics cat-reduce,
+    retrieval_metric.py:68-69)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 class RetrievalMetric:

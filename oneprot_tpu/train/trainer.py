@@ -279,8 +279,13 @@ class Trainer:
             seq_f, mod_f, loss = module.eval_step(
                 module.state.params, modality, seq_in, mod_in)
             loss_metric.update(float(loss))
+            # multi-process: gather non-addressable shards so every host
+            # ranks the identical global pool (reference cat-reduce,
+            # retrieval_metric.py:68-69)
+            from oneprot_tpu.train.metrics import gather_features
+
             retrieval.setdefault(modality, RetrievalMetric()).update(
-                np.asarray(seq_f), np.asarray(mod_f))
+                gather_features(seq_f), gather_features(mod_f))
         metrics = {f"{split}/loss": loss_metric.compute()}
         for modality, metric in retrieval.items():
             for key, value in metric.compute().items():
