@@ -8,6 +8,14 @@ TPU-first design note: the GNN (oneprot_tpu/models/pronet.py) operates on
 *dense padded neighborhoods* [B, N, K] and aggregates with masked reductions,
 so its hot path needs no scatter at all. These segment ops cover the generic
 ragged path (flat edge lists) and are the oracle for any Pallas variants.
+
+Decision record (SURVEY §7.3 promised Pallas segment kernels): they were
+never needed. The dense no-scatter design moved every production GNN
+aggregation onto plain masked reductions/matmuls that XLA tiles well
+(masked_neighbor_{sum,mean,max} below, profiled as a negligible share of
+the struct_graph step), so the ragged `segment_*` entry points remain thin
+`jax.ops.segment_*` delegations kept for API parity and as test oracles —
+a custom scatter kernel would optimize a path nothing hot uses.
 """
 
 from __future__ import annotations
