@@ -42,7 +42,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, prefetch: int = 2,
-                 num_workers: int = 2):
+                 num_workers: int = 2, group_by_length: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,6 +51,14 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_workers = num_workers
         self.epoch = 0
+        # Length-grouped batching: shuffled megabatch windows are sorted by
+        # item length before chunking, so batches land in the smallest
+        # length bucket (static shapes + ~2x less padded compute on real
+        # length distributions). Engages only for shuffled (train) loaders
+        # on datasets that expose lengths(); randomness is preserved at the
+        # window and batch-order level.
+        self.group_by_length = group_by_length
+        self._lengths = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -58,15 +66,24 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _item_lengths(self):
+        if self._lengths is None and hasattr(self.dataset, "lengths"):
+            try:
+                self._lengths = np.asarray(self.dataset.lengths())
+            except Exception:  # pragma: no cover - length probe optional
+                self._lengths = False
+        return self._lengths if self._lengths is not False else None
+
     def _batches(self) -> Iterator[List[Any]]:
         n = len(self.dataset)
         order = np.arange(n)
+        rng = np.random.RandomState(self.seed + self.epoch)
         if self.shuffle:
             # same permutation on every host (seeded), then a per-process
             # interleaved shard: on multi-host pods each process feeds its
             # addressable chips distinct data (torch DistributedSampler
             # semantics; the reference gets this from Lightning DDP)
-            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+            rng.shuffle(order)
         try:
             import jax
 
@@ -75,10 +92,25 @@ class DataLoader:
             nproc, rank = 1, 0
         if nproc > 1:
             order = order[rank::nproc]
-        for start in range(0, len(order), self.batch_size):
-            idxs = order[start:start + self.batch_size]
+
+        lengths = (self._item_lengths()
+                   if (self.shuffle and self.group_by_length) else None)
+        if lengths is not None and len(order) > self.batch_size:
+            window = self.batch_size * 16
+            chunks = []
+            for w0 in range(0, len(order), window):
+                win = order[w0:w0 + window]
+                win = win[np.argsort(lengths[win], kind="stable")]
+                chunks.extend(win[s:s + self.batch_size]
+                              for s in range(0, len(win), self.batch_size))
+            rng.shuffle(chunks)
+            batches = chunks
+        else:
+            batches = [order[s:s + self.batch_size]
+                       for s in range(0, len(order), self.batch_size)]
+        for idxs in batches:
             if self.drop_last and len(idxs) < self.batch_size:
-                break
+                continue
             yield [self.dataset[int(i)] for i in idxs]
 
     def __iter__(self):

@@ -52,6 +52,19 @@ class StructTokenDataset(BaseDataset):
     def __getitem__(self, idx: int) -> str:
         return self.ids[idx]
 
+    def lengths(self) -> np.ndarray:
+        """Tokenized lengths for length-grouped batching — read from the
+        HDF5 dtype itemsize (no data read): strucseq is a fixed-length
+        bytes scalar holding the interleaved AA+3Di string."""
+        h5 = H5.get(self.filename)
+        out = np.empty(len(self.ids), np.int32)
+        for i, sid in enumerate(self.ids):
+            try:
+                out[i] = h5[sid]["strucseq"].dtype.itemsize // 2 + 2
+            except KeyError:
+                out[i] = 2
+        return np.minimum(out, self.max_length)
+
     def collate_fn(self, seq_ids: List[str],
                    rng: Optional[np.random.RandomState] = None):
         h5 = H5.get(self.filename)

@@ -47,6 +47,19 @@ class TextDataset(BaseDataset):
     def __getitem__(self, idx: int) -> str:
         return self.df[0].iloc[idx]
 
+    def lengths(self) -> np.ndarray:
+        """Tokenized sequence lengths for length-grouped batching (h5 dtype
+        itemsize only; no data read)."""
+        h5 = H5.get(self.h5_file)
+        out = np.empty(self.df.shape[0], np.int32)
+        for i, sid in enumerate(self.df[0].tolist()):
+            try:
+                node = h5[sid]["structure"]["0"]["A"]["residues"]["seq1"]
+                out[i] = node.dtype.itemsize + 2
+            except KeyError:
+                out[i] = 2
+        return np.minimum(out, self.max_length)
+
     def collate_fn(self, seq_ids: List[str],
                    rng: Optional[np.random.RandomState] = None):
         h5 = H5.get(self.h5_file)

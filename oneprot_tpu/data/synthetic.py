@@ -62,6 +62,7 @@ def generate_fixtures(
     n_eval: int = 8,
     seed: int = 0,
     modalities: Optional[List[str]] = None,
+    seq_len_range: tuple = (20, 60),
 ) -> Dict[str, List[str]]:
     """Create the full fixture tree under data_dir. Idempotent."""
     import h5py
@@ -76,7 +77,8 @@ def generate_fixtures(
     counts = {"train": n_train, "val": n_eval, "test": n_eval}
     ids = {s: [f"{s}_prot_{i:04d}" for i in range(c)]
            for s, c in counts.items()}
-    seqs = {pid: _random_seq(rng) for split in ids for pid in ids[split]}
+    seqs = {pid: _random_seq(rng, *seq_len_range)
+            for split in ids for pid in ids[split]}
 
     # ---- seqstruc.h5 (all proteins) + pockets h5 -------------------------
     with h5py.File(os.path.join(data_dir, "seqstruc.h5"), "w") as h5:
