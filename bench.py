@@ -174,23 +174,32 @@ def main() -> None:
     profile_dir = os.environ.get("BENCH_PROFILE")
     total_pairs = 0
     total_time = 0.0
+    cached_pairs = []
     rng = np.random.RandomState(7)
     for (blen, batch, steps, _share) in plan:
         # realistic in-bucket lengths: draw from the distribution
         # conditioned on landing in this bucket
         if MODE == "fixed":
-            lens = np.full((batch,), blen, np.int32)
+            lens_all = np.full((steps, batch), blen, np.int32)
         else:
             pool = sample_lengths(65536, seed=blen)
             pool = pool[np.array([bucket_of(l) for l in pool]) == blen]
             if len(pool) < batch:
                 pool = np.full((batch,), blen, np.int32)
-            lens = rng.choice(pool, size=batch, replace=True)
-        # transfer to device once: a per-step host->device upload would
-        # serialize dispatch (severe through the axon tunnel)
+            lens_all = np.minimum(
+                rng.choice(pool, size=(steps, batch), replace=True), blen)
+        # FRESH batch per step (stacked as scan xs): with repeated inputs
+        # XLA hoists the frozen hub forward out of the step loop — real
+        # training streams new data every step, so that would overstate
+        # throughput ~2-3x. Transfer to device once (per-step host->device
+        # uploads serialize dispatch through the tunneled backend).
         import jax.numpy as jnp
-        seq_ids = jnp.asarray(make_ids(batch, blen, lens, 24, blen))
-        st_ids = jnp.asarray(make_ids(batch, blen, lens, 54, blen + 1))
+        seq_ids = jnp.asarray(np.stack([
+            make_ids(batch, blen, lens_all[s], 24, blen * 1000 + s)
+            for s in range(steps)]))
+        st_ids = jnp.asarray(np.stack([
+            make_ids(batch, blen, lens_all[s], 54, blen * 1000 + 500 + s)
+            for s in range(steps)]))
 
         # K steps fused into ONE dispatch: the axon tunnel costs ~90 ms of
         # RPC latency per call, which is an artifact of this environment
@@ -200,15 +209,15 @@ def main() -> None:
 
         step_fn = module.train_step_fn("struct_token")
 
-        def k_steps(state, k):
-            def body(s, _):
-                s, loss = step_fn(s, seq_ids, st_ids)
+        def k_steps(state, seq_xs, st_xs):
+            def body(s, xs):
+                s, loss = step_fn(s, xs[0], xs[1])
                 return s, loss
-            return jax.lax.scan(body, state, None, length=k)
+            return jax.lax.scan(body, state, (seq_xs, st_xs))
 
         t0 = time.time()
-        run = jax.jit(k_steps, static_argnums=1, donate_argnums=0)
-        state, losses = run(state, steps)
+        run = jax.jit(k_steps, donate_argnums=0)
+        state, losses = run(state, seq_ids, st_ids)
         loss = losses[-1]
         float(loss)
         print(f"# L={blen} B={batch}: compile+first {steps} steps "
@@ -218,7 +227,7 @@ def main() -> None:
         if profile_dir:
             jax.profiler.start_trace(f"{profile_dir}/L{blen}")
         t0 = time.time()
-        state, losses = run(state, steps)
+        state, losses = run(state, seq_ids, st_ids)
         float(losses[-1])  # sync (block_until_ready is lazy through axon)
         dt = time.time() - t0
         if profile_dir:
@@ -229,8 +238,43 @@ def main() -> None:
         total_pairs += batch * steps
         total_time += dt
 
+        # steady-state with the frozen-feature cache (trainer default,
+        # epoch >= 2): the hub's pooled reprs are cached, training runs
+        # head+tower only. Reported for PERFORMANCE.md; the headline above
+        # stays cold/no-cache.
+        if os.environ.get("BENCH_CACHED", "1") == "1":
+            pooled_fn = jax.jit(lambda p, x: module.model.apply(
+                {"params": p}, x, "sequence",
+                method=type(module.model).encode_pooled))
+            pooled_xs = jax.vmap(
+                lambda x: pooled_fn(state.params, x))(seq_ids)
+            cached_fn = module.train_step_cached_fn("struct_token")
+
+            def k_steps_cached(state, pooled_xs, st_xs):
+                def body(s, xs):
+                    s, loss = cached_fn(s, xs[0], xs[1])
+                    return s, loss
+                return jax.lax.scan(body, state, (pooled_xs, st_xs))
+
+            run_c = jax.jit(k_steps_cached, donate_argnums=0)
+            state, losses = run_c(state, pooled_xs, st_ids)
+            float(losses[-1])
+            t0 = time.time()
+            state, losses = run_c(state, pooled_xs, st_ids)
+            float(losses[-1])
+            dtc = time.time() - t0
+            print(f"# L={blen} B={batch}: cached steady-state "
+                  f"{dtc/steps*1000:.0f} ms/step, "
+                  f"{batch*steps/dtc:.1f} pairs/s", file=sys.stderr)
+            cached_pairs.append((batch * steps, dtc))
+
     pairs_per_sec = total_pairs / total_time
     per_chip = pairs_per_sec / max(n_chips, 1)
+    if cached_pairs:
+        cp = sum(p for p, _ in cached_pairs) / sum(t for _, t in cached_pairs)
+        print(f"# steady-state (frozen-feature cache): "
+              f"{cp/max(n_chips,1):.1f} pairs/s/chip "
+              f"({cp/max(n_chips,1)/base:.2f}x baseline)", file=sys.stderr)
     print(json.dumps({
         "metric": metric,
         "value": round(per_chip, 2),

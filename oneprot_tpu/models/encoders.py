@@ -46,19 +46,11 @@ class SequenceEncoder(nn.Module):
     remat: bool = False
     pretrained_dir: Optional[str] = None  # local HF checkpoint dir
 
-    @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
-        hidden = Esm2(self.config, lora_rank=self.lora_rank,
-                      lora_alpha=self.lora_alpha, dtype=self.dtype,
-                      remat=self.remat, name="transformer")(input_ids)
-        if self.frozen and self.lora_rank == 0:
-            # frozen backbone with no adapters: hard gradient barrier so
-            # autodiff keeps no residuals for the 650M tower (the head after
-            # it still trains, matching requires_grad=False semantics,
-            # reference sequence_encoder.py:57-59)
-            hidden = jax.lax.stop_gradient(hidden)
-        return EncoderHead(
+    def setup(self):
+        self.transformer = Esm2(self.config, lora_rank=self.lora_rank,
+                                lora_alpha=self.lora_alpha, dtype=self.dtype,
+                                remat=self.remat)
+        self.head = EncoderHead(
             d_model=self.config.hidden_size,
             output_dim=self.output_dim,
             proj_type=self.proj_type,
@@ -66,8 +58,33 @@ class SequenceEncoder(nn.Module):
             use_logit_scale=self.use_logit_scale,
             learnable_logit_scale=self.learnable_logit_scale,
             dtype=self.dtype,
-            name="head",
-        )(hidden, mask)
+        )
+
+    @property
+    def backbone_is_cacheable(self) -> bool:
+        """True when backbone_pooled(ids) is constant for all training time:
+        frozen transformer, no LoRA, parameter-free pooling."""
+        return (self.frozen and self.lora_rank == 0
+                and self.pooling_type in ("mean", "cls"))
+
+    def backbone_pooled(self, input_ids: jax.Array) -> jax.Array:
+        """Transformer -> pooling; the frozen-cacheable representation."""
+        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        hidden = self.transformer(input_ids)
+        if self.frozen and self.lora_rank == 0:
+            # frozen backbone with no adapters: hard gradient barrier so
+            # autodiff keeps no residuals for the 650M tower (the head after
+            # it still trains, matching requires_grad=False semantics,
+            # reference sequence_encoder.py:57-59)
+            hidden = jax.lax.stop_gradient(hidden)
+        return self.head.pool(hidden, mask)
+
+    def head_from_pooled(self, pooled: jax.Array) -> jax.Array:
+        """The trainable tail: projection + norm on a pooled representation."""
+        return self.head.project(pooled)
+
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        return self.head.project(self.backbone_pooled(input_ids))
 
 
 class StructTokenEncoder(nn.Module):
@@ -116,15 +133,11 @@ class TextEncoder(nn.Module):
     remat: bool = False
     pretrained_dir: Optional[str] = None
 
-    @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
-        hidden = Bert(self.config, lora_rank=self.lora_rank,
-                      lora_alpha=self.lora_alpha, dtype=self.dtype,
-                      remat=self.remat, name="transformer")(input_ids)
-        if self.frozen and self.lora_rank == 0:
-            hidden = jax.lax.stop_gradient(hidden)  # see SequenceEncoder
-        return EncoderHead(
+    def setup(self):
+        self.transformer = Bert(self.config, lora_rank=self.lora_rank,
+                                lora_alpha=self.lora_alpha, dtype=self.dtype,
+                                remat=self.remat)
+        self.head = EncoderHead(
             d_model=self.config.hidden_size,
             output_dim=self.output_dim,
             proj_type=self.proj_type,
@@ -132,8 +145,25 @@ class TextEncoder(nn.Module):
             use_logit_scale=self.use_logit_scale,
             learnable_logit_scale=self.learnable_logit_scale,
             dtype=self.dtype,
-            name="head",
-        )(hidden, mask)
+        )
+
+    @property
+    def backbone_is_cacheable(self) -> bool:
+        return (self.frozen and self.lora_rank == 0
+                and self.pooling_type in ("mean", "cls"))
+
+    def backbone_pooled(self, input_ids: jax.Array) -> jax.Array:
+        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        hidden = self.transformer(input_ids)
+        if self.frozen and self.lora_rank == 0:
+            hidden = jax.lax.stop_gradient(hidden)  # see SequenceEncoder
+        return self.head.pool(hidden, mask)
+
+    def head_from_pooled(self, pooled: jax.Array) -> jax.Array:
+        return self.head.project(pooled)
+
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        return self.head.project(self.backbone_pooled(input_ids))
 
 
 class StructGraphEncoder(nn.Module):
@@ -232,6 +262,21 @@ class OneProtModel(nn.Module):
             name: self(inputs, name, deterministic=True)
             for name, inputs in examples.items()
         }
+
+    def encode_pooled(self, inputs: Any,
+                      modality: str = "sequence") -> jax.Array:
+        """Frozen-cacheable backbone representation (transformer+pooling).
+        Only meaningful for encoders whose backbone_is_cacheable."""
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        return self.encoders[modality].backbone_pooled(inputs)
+
+    def head_from_pooled(self, pooled: jax.Array,
+                         modality: str = "sequence") -> jax.Array:
+        """Trainable head on a cached pooled representation."""
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        return self.encoders[modality].head_from_pooled(pooled)
 
     @property
     def modalities(self):

@@ -110,7 +110,13 @@ class LogitScale(nn.Module):
 
 
 class EncoderHead(nn.Module):
-    """pooling → projection → l2-norm (+ optional logit scale)."""
+    """pooling → projection → l2-norm (+ optional logit scale).
+
+    `pool` and `project` are exposed as separate methods so frozen
+    backbones can cache the pooled representation (pooling is parameter-
+    free for mean/cls; `pooling_is_cacheable` reports that) and re-run only
+    the trainable projection during training.
+    """
 
     d_model: int
     output_dim: int
@@ -120,28 +126,40 @@ class EncoderHead(nn.Module):
     learnable_logit_scale: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self, features: jax.Array, mask: Optional[jax.Array] = None
-    ) -> jax.Array:
-        if self.pooling_type == "mean":
-            pooled = mean_pool(features, mask)
-        elif self.pooling_type == "cls":
-            pooled = cls_pool(features, mask)
-        elif self.pooling_type == "attention1d":
-            pooled = Attention1dPooling(name="attention1d")(features, mask)
-        else:  # identity / None
-            pooled = features
-        projected = Projection(
+    def setup(self):
+        if self.pooling_type == "attention1d":
+            self.attention1d = Attention1dPooling()
+        self.proj = Projection(
             d_model=self.d_model,
             output_dim=self.output_dim,
             proj_type=self.proj_type,
             dtype=self.dtype,
-            name="proj",
-        )(pooled)
-        out = l2_normalize(projected.astype(jnp.float32), axis=-1)
+        )
         if self.use_logit_scale:
-            out = LogitScale(
-                learnable=self.learnable_logit_scale, name="logit_scale"
-            )(out)
+            self.logit_scale = LogitScale(
+                learnable=self.learnable_logit_scale)
+
+    @property
+    def pooling_is_cacheable(self) -> bool:
+        return self.pooling_type in ("mean", "cls")
+
+    def pool(self, features: jax.Array,
+             mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.pooling_type == "mean":
+            return mean_pool(features, mask)
+        if self.pooling_type == "cls":
+            return cls_pool(features, mask)
+        if self.pooling_type == "attention1d":
+            return self.attention1d(features, mask)
+        return features  # identity / None
+
+    def project(self, pooled: jax.Array) -> jax.Array:
+        out = l2_normalize(self.proj(pooled).astype(jnp.float32), axis=-1)
+        if self.use_logit_scale:
+            out = self.logit_scale(out)
         return out
+
+    def __call__(
+        self, features: jax.Array, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        return self.project(self.pool(features, mask))

@@ -325,6 +325,84 @@ class OneProtModule:
         seq_inputs, mod_inputs = self._shard_batch(seq_inputs, mod_inputs)
         return self._train_step_cache[modality](state, seq_inputs, mod_inputs)
 
+    # -- frozen-feature cache path -------------------------------------------
+    #
+    # The hub encoder is frozen in the reference's production config
+    # (reference configs/model/components/sequence.yaml: frozen: true,
+    # use_lora: false), so its transformer+pooling output for a given
+    # tokenized input never changes during training. From the second pass
+    # over the data, the 650M forward (~2/3 of the step) is pure recompute:
+    # the trainer caches the pooled [B, d_model] representation per sample
+    # and trains through head_from_pooled instead. Numerics are bit-equal
+    # to the uncached step (tests/test_feature_cache.py).
+
+    def hub_is_cacheable(self) -> bool:
+        enc = self.encoders.get("sequence")
+        return bool(getattr(enc, "backbone_is_cacheable", False))
+
+    def encode_pooled(self, params, modality: str, inputs) -> jax.Array:
+        """Jitted frozen-backbone forward: transformer -> pooled [B, d]."""
+        key = ("pooled", modality)
+        if key not in self._eval_step_cache:
+            self._eval_step_cache[key] = jax.jit(
+                lambda p, x: self.model.apply(
+                    {"params": p}, x, modality,
+                    method=OneProtModel.encode_pooled))
+        return self._eval_step_cache[key](params, jnp.asarray(inputs))
+
+    def train_step_cached_fn(self, modality: str):
+        """Raw (un-jitted) cached train step (see train_step_fn)."""
+        mask = self.mask
+        tx = self.tx
+
+        def step_fn(state: TrainState, seq_pooled, mod_inputs):
+            rng = jax.random.fold_in(jax.random.key(self.seed), state.step)
+            rngs = {"dropout": rng, "augment": jax.random.fold_in(rng, 1)}
+            trainable, frozen = optim_lib.partition_params(state.params, mask)
+
+            def loss_fn(trainable_params):
+                params = optim_lib.merge_params(trainable_params, frozen)
+                seq_feats = self.model.apply(
+                    {"params": params}, seq_pooled, "sequence",
+                    method=OneProtModel.head_from_pooled)
+                mod_feats = self.model.apply(
+                    {"params": params}, mod_inputs, modality,
+                    deterministic=False, rngs=rngs)
+                return self._loss_value(mod_feats, seq_feats)
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_params = optim_lib.merge_params(new_trainable, frozen)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=new_opt), loss
+
+        return step_fn
+
+    def _build_train_step_cached(self, modality: str):
+        step_fn = self.train_step_cached_fn(modality)
+        donate = (0,)
+        if self.mesh is not None:
+            from oneprot_tpu.core.partitioning import state_shardings
+
+            return jax.jit(
+                step_fn,
+                donate_argnums=donate,
+                out_shardings=(state_shardings(self.state),
+                               NamedSharding(self.mesh, P())),
+            )
+        return jax.jit(step_fn, donate_argnums=donate)
+
+    def train_step_cached(self, state: TrainState, modality: str,
+                          seq_pooled, mod_inputs):
+        """Train step consuming a cached pooled hub representation."""
+        key = ("cached", modality)
+        if key not in self._train_step_cache:
+            self._train_step_cache[key] = self._build_train_step_cached(
+                modality)
+        seq_pooled, mod_inputs = self._shard_batch(seq_pooled, mod_inputs)
+        return self._train_step_cache[key](state, seq_pooled, mod_inputs)
+
     # -- eval step ------------------------------------------------------------
 
     def _build_eval_step(self, modality: str):
@@ -341,6 +419,24 @@ class OneProtModule:
             self._eval_step_cache[modality] = self._build_eval_step(modality)
         seq_inputs, mod_inputs = self._shard_batch(seq_inputs, mod_inputs)
         return self._eval_step_cache[modality](params, seq_inputs, mod_inputs)
+
+    def eval_step_cached(self, params, modality: str, seq_pooled, mod_inputs):
+        """Eval step consuming a cached pooled hub representation."""
+        key = ("eval_cached", modality)
+        if key not in self._eval_step_cache:
+            def step_fn(params, seq_pooled, mod_inputs):
+                seq_feats = self.model.apply(
+                    {"params": params}, seq_pooled, "sequence",
+                    method=OneProtModel.head_from_pooled)
+                mod_feats = self.model.apply(
+                    {"params": params}, mod_inputs, modality,
+                    deterministic=True)
+                loss = self._loss_value(mod_feats, seq_feats)
+                return seq_feats, mod_feats, loss
+
+            self._eval_step_cache[key] = jax.jit(step_fn)
+        seq_pooled, mod_inputs = self._shard_batch(seq_pooled, mod_inputs)
+        return self._eval_step_cache[key](params, seq_pooled, mod_inputs)
 
     # -- helpers ---------------------------------------------------------------
 

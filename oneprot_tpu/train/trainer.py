@@ -83,6 +83,8 @@ class Trainer:
         profiler: Optional[str] = None,
         default_root_dir: Optional[str] = None,
         detect_anomaly: bool = False,
+        cache_frozen_features: bool = True,
+        cache_max_entries: Optional[int] = None,
         **unused: Any,
     ):
         if detect_anomaly:
@@ -103,6 +105,9 @@ class Trainer:
         self.gradient_clip_val = gradient_clip_val
         self.log_every_n_steps = log_every_n_steps
         self.profiler = profiler
+        self.cache_frozen_features = cache_frozen_features
+        self.cache_max_entries = cache_max_entries
+        self._feature_cache = None
         self.output_dir = default_root_dir or "."
         mesh_cfg = mesh or {}
         self.mesh = mesh_lib.make_mesh(
@@ -193,8 +198,24 @@ class Trainer:
                     for modality in module.modalities_to_train(
                             self.global_step, batch.keys()):
                         seq_in, mod_in, _, _ = batch[modality]
-                        module.state, loss = module.train_step(
-                            module.state, modality, seq_in, mod_in)
+                        if (self.cache_frozen_features
+                                and module.hub_is_cacheable()):
+                            # frozen hub: skip the backbone forward for
+                            # rows seen before (feature_cache.py)
+                            if self._feature_cache is None:
+                                from oneprot_tpu.train.feature_cache import (
+                                    FrozenFeatureCache,
+                                )
+
+                                self._feature_cache = FrozenFeatureCache(
+                                    self.cache_max_entries)
+                            pooled = self._feature_cache.get_pooled(
+                                module, seq_in)
+                            module.state, loss = module.train_step_cached(
+                                module.state, modality, pooled, mod_in)
+                        else:
+                            module.state, loss = module.train_step(
+                                module.state, modality, seq_in, mod_in)
                         self.global_step += 1
                         # keep the loss on device: a float() here would sync
                         # every step and stall the host->device pipeline;
@@ -276,8 +297,15 @@ class Trainer:
                 continue
             n_per_modality[modality] = n_per_modality.get(modality, 0) + 1
             seq_in, mod_in, modality, _ = batch
-            seq_f, mod_f, loss = module.eval_step(
-                module.state.params, modality, seq_in, mod_in)
+            if (self.cache_frozen_features and module.hub_is_cacheable()
+                    and self._feature_cache is not None):
+                # the val pool repeats every epoch: reuse cached hub reprs
+                pooled = self._feature_cache.get_pooled(module, seq_in)
+                seq_f, mod_f, loss = module.eval_step_cached(
+                    module.state.params, modality, pooled, mod_in)
+            else:
+                seq_f, mod_f, loss = module.eval_step(
+                    module.state.params, modality, seq_in, mod_in)
             loss_metric.update(float(loss))
             # multi-process: gather non-addressable shards so every host
             # ranks the identical global pool (reference cat-reduce,
