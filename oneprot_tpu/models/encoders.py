@@ -209,36 +209,41 @@ class MsaEncoder(nn.Module):
     frozen: bool = True  # always frozen in the reference
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, tokens: jax.Array) -> jax.Array:
-        reps = MsaTransformer(self.config, dtype=self.dtype,
-                              name="transformer")(tokens)  # [B, R, L, H]
+    def setup(self):
+        self.transformer = MsaTransformer(self.config, dtype=self.dtype)
+        self.head = EncoderHead(
+            d_model=self.config.hidden_size,
+            output_dim=self.output_dim,
+            proj_type=self.proj_type,
+            pooling_type="identity" if self.use_all_msa else self.pooling_type,
+            use_logit_scale=self.use_logit_scale,
+            learnable_logit_scale=self.learnable_logit_scale,
+            dtype=self.dtype,
+        )
+
+    @property
+    def backbone_is_cacheable(self) -> bool:
+        """The MSA transformer is always frozen (msa_encoder.py:30-32) and
+        both pooling modes are parameter-free."""
+        return self.frozen and (self.use_all_msa
+                                or self.pooling_type in ("mean", "cls"))
+
+    def backbone_pooled(self, tokens: jax.Array) -> jax.Array:
+        reps = self.transformer(tokens)                 # [B, R, L, H]
         if self.frozen:
             reps = jax.lax.stop_gradient(reps)  # always frozen in reference
         mask = (tokens != self.config.pad_token_id)
         if self.use_all_msa:
             m = mask[..., None].astype(reps.dtype)
-            pooled = jnp.sum(reps * m, axis=(1, 2)) / jnp.maximum(
+            return jnp.sum(reps * m, axis=(1, 2)) / jnp.maximum(
                 jnp.sum(m, axis=(1, 2)), 1.0)
-            pooling = "identity"
-        else:
-            reps = reps[:, 0]
-            pooled = reps
-            pooling = self.pooling_type
-            mask = mask[:, 0]
-        head = EncoderHead(
-            d_model=self.config.hidden_size,
-            output_dim=self.output_dim,
-            proj_type=self.proj_type,
-            pooling_type="identity" if self.use_all_msa else pooling,
-            use_logit_scale=self.use_logit_scale,
-            learnable_logit_scale=self.learnable_logit_scale,
-            dtype=self.dtype,
-            name="head",
-        )
-        if self.use_all_msa:
-            return head(pooled, None)
-        return head(pooled, mask.astype(jnp.int32))
+        return self.head.pool(reps[:, 0], mask[:, 0].astype(jnp.int32))
+
+    def head_from_pooled(self, pooled: jax.Array) -> jax.Array:
+        return self.head.project(pooled)
+
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        return self.head.project(self.backbone_pooled(tokens))
 
 
 class OneProtModel(nn.Module):

@@ -33,20 +33,25 @@ class FrozenFeatureCache:
     def __len__(self) -> int:
         return len(self._store)
 
-    def get_pooled(self, module, seq_inputs) -> np.ndarray:
-        """Pooled hub representations for a batch, from cache where known.
+    def get_pooled(self, module, seq_inputs,
+                   modality: str = "sequence") -> np.ndarray:
+        """Pooled backbone representations for a batch, cached where known.
 
         On any miss the whole batch is computed in one jitted forward and
         every row is stored (first epoch = all misses, one forward per
-        batch exactly like the uncached path)."""
+        batch exactly like the uncached path). Entries are namespaced by
+        encoder ('seqsim' shares the sequence encoder and its entries)."""
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        ns = modality.encode() + b"|"
         seq_np = np.ascontiguousarray(np.asarray(seq_inputs))
-        keys = [row.tobytes() for row in seq_np]
+        keys = [ns + row.tobytes() for row in seq_np]
         if all(k in self._store for k in keys):
             self.hits += len(keys)
             return np.stack([self._store[k] for k in keys])
         self.misses += len(keys)
         pooled = np.asarray(
-            module.encode_pooled(module.state.params, "sequence", seq_np))
+            module.encode_pooled(module.state.params, modality, seq_np))
         if self.max_entries is None or len(self._store) < self.max_entries:
             for k, row in zip(keys, pooled):
                 self._store[k] = row

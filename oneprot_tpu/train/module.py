@@ -340,6 +340,14 @@ class OneProtModule:
         enc = self.encoders.get("sequence")
         return bool(getattr(enc, "backbone_is_cacheable", False))
 
+    def modality_is_cacheable(self, modality: str) -> bool:
+        """True when the MODALITY tower's backbone output is constant
+        (frozen text/MSA towers; seqsim routes to the frozen hub)."""
+        if modality in ("sequence", "seqsim"):
+            return self.hub_is_cacheable()
+        enc = self.encoders.get(modality)
+        return bool(getattr(enc, "backbone_is_cacheable", False))
+
     def encode_pooled(self, params, modality: str, inputs) -> jax.Array:
         """Jitted frozen-backbone forward: transformer -> pooled [B, d]."""
         key = ("pooled", modality)
@@ -402,6 +410,72 @@ class OneProtModule:
                 modality)
         seq_pooled, mod_inputs = self._shard_batch(seq_pooled, mod_inputs)
         return self._train_step_cache[key](state, seq_pooled, mod_inputs)
+
+    def train_step_fully_cached_fn(self, modality: str):
+        """Raw step where BOTH towers' backbones are cached (frozen hub +
+        frozen modality tower, e.g. seq<->text / seq<->msa / seqsim):
+        only the two heads run."""
+        mask = self.mask
+        tx = self.tx
+
+        def step_fn(state: TrainState, seq_pooled, mod_pooled):
+            trainable, frozen = optim_lib.partition_params(state.params, mask)
+
+            def loss_fn(trainable_params):
+                params = optim_lib.merge_params(trainable_params, frozen)
+                seq_feats = self.model.apply(
+                    {"params": params}, seq_pooled, "sequence",
+                    method=OneProtModel.head_from_pooled)
+                mod_feats = self.model.apply(
+                    {"params": params}, mod_pooled, modality,
+                    method=OneProtModel.head_from_pooled)
+                return self._loss_value(mod_feats, seq_feats)
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_params = optim_lib.merge_params(new_trainable, frozen)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=new_opt), loss
+
+        return step_fn
+
+    def train_step_fully_cached(self, state: TrainState, modality: str,
+                                seq_pooled, mod_pooled):
+        key = ("cached2", modality)
+        if key not in self._train_step_cache:
+            step_fn = self.train_step_fully_cached_fn(modality)
+            donate = (0,)
+            if self.mesh is not None:
+                from oneprot_tpu.core.partitioning import state_shardings
+
+                self._train_step_cache[key] = jax.jit(
+                    step_fn, donate_argnums=donate,
+                    out_shardings=(state_shardings(self.state),
+                                   NamedSharding(self.mesh, P())))
+            else:
+                self._train_step_cache[key] = jax.jit(
+                    step_fn, donate_argnums=donate)
+        seq_pooled, mod_pooled = self._shard_batch(seq_pooled, mod_pooled)
+        return self._train_step_cache[key](state, seq_pooled, mod_pooled)
+
+    def eval_step_fully_cached(self, params, modality: str, seq_pooled,
+                               mod_pooled):
+        key = ("eval_cached2", modality)
+        if key not in self._eval_step_cache:
+            def step_fn(params, seq_pooled, mod_pooled):
+                seq_feats = self.model.apply(
+                    {"params": params}, seq_pooled, "sequence",
+                    method=OneProtModel.head_from_pooled)
+                mod_feats = self.model.apply(
+                    {"params": params}, mod_pooled, modality,
+                    method=OneProtModel.head_from_pooled)
+                loss = self._loss_value(mod_feats, seq_feats)
+                return seq_feats, mod_feats, loss
+
+            self._eval_step_cache[key] = jax.jit(step_fn)
+        seq_pooled, mod_pooled = self._shard_batch(seq_pooled, mod_pooled)
+        return self._eval_step_cache[key](params, seq_pooled, mod_pooled)
 
     # -- eval step ------------------------------------------------------------
 

@@ -200,8 +200,9 @@ class Trainer:
                         seq_in, mod_in, _, _ = batch[modality]
                         if (self.cache_frozen_features
                                 and module.hub_is_cacheable()):
-                            # frozen hub: skip the backbone forward for
-                            # rows seen before (feature_cache.py)
+                            # frozen backbones: skip their forwards for
+                            # rows seen before (feature_cache.py); frozen
+                            # modality towers (text/MSA/seqsim) cache too
                             if self._feature_cache is None:
                                 from oneprot_tpu.train.feature_cache import (
                                     FrozenFeatureCache,
@@ -211,8 +212,16 @@ class Trainer:
                                     self.cache_max_entries)
                             pooled = self._feature_cache.get_pooled(
                                 module, seq_in)
-                            module.state, loss = module.train_step_cached(
-                                module.state, modality, pooled, mod_in)
+                            if module.modality_is_cacheable(modality):
+                                mod_pooled = self._feature_cache.get_pooled(
+                                    module, mod_in, modality)
+                                module.state, loss = (
+                                    module.train_step_fully_cached(
+                                        module.state, modality, pooled,
+                                        mod_pooled))
+                            else:
+                                module.state, loss = module.train_step_cached(
+                                    module.state, modality, pooled, mod_in)
                         else:
                             module.state, loss = module.train_step(
                                 module.state, modality, seq_in, mod_in)
@@ -299,10 +308,16 @@ class Trainer:
             seq_in, mod_in, modality, _ = batch
             if (self.cache_frozen_features and module.hub_is_cacheable()
                     and self._feature_cache is not None):
-                # the val pool repeats every epoch: reuse cached hub reprs
+                # the val pool repeats every epoch: reuse cached reprs
                 pooled = self._feature_cache.get_pooled(module, seq_in)
-                seq_f, mod_f, loss = module.eval_step_cached(
-                    module.state.params, modality, pooled, mod_in)
+                if module.modality_is_cacheable(modality):
+                    mod_pooled = self._feature_cache.get_pooled(
+                        module, mod_in, modality)
+                    seq_f, mod_f, loss = module.eval_step_fully_cached(
+                        module.state.params, modality, pooled, mod_pooled)
+                else:
+                    seq_f, mod_f, loss = module.eval_step_cached(
+                        module.state.params, modality, pooled, mod_in)
             else:
                 seq_f, mod_f, loss = module.eval_step(
                     module.state.params, modality, seq_in, mod_in)

@@ -103,3 +103,40 @@ def test_trainer_uses_cache_end_to_end(tmp_path):
     assert tr_off._feature_cache is None
     np.testing.assert_allclose(val_on["val/loss"], val_off["val/loss"],
                                rtol=2e-4)
+
+
+def test_modality_cacheable_flags():
+    m = _build()
+    assert m.modality_is_cacheable("seqsim")        # routes to frozen hub
+    assert not m.modality_is_cacheable("struct_token")  # trainable tower
+
+
+def test_fully_cached_seqsim_matches_uncached():
+    """seqsim: both sides run the frozen hub — the dual-cached step (heads
+    only) must reproduce the uncached step."""
+    batches = [(tiny_ids(24, s), tiny_ids(24, 50 + s)) for s in range(3)]
+
+    plain = _build()
+    plain.use_seqsim = True
+    plain.init({"struct_token": (tiny_ids(24, 0), tiny_ids(54, 1))})
+    s1 = plain.state
+    losses_plain = []
+    for seq_in, mod_in in batches * 2:
+        s1, loss = plain.train_step(s1, "seqsim", seq_in, mod_in)
+        losses_plain.append(float(loss))
+
+    cached = _build()
+    cached.use_seqsim = True
+    cached.init({"struct_token": (tiny_ids(24, 0), tiny_ids(54, 1))})
+    s2 = cached.state
+    cache = FrozenFeatureCache()
+    losses_cached = []
+    for seq_in, mod_in in batches * 2:
+        cached.state = s2
+        p1 = cache.get_pooled(cached, seq_in)
+        p2 = cache.get_pooled(cached, mod_in, "seqsim")
+        s2, loss = cached.train_step_fully_cached(s2, "seqsim", p1, p2)
+        losses_cached.append(float(loss))
+
+    np.testing.assert_allclose(losses_cached, losses_plain, rtol=2e-5)
+    assert cache.hits > 0
