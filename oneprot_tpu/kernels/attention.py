@@ -103,7 +103,8 @@ def dot_product_attention(
     return reference_attention(q, k, v, bias)
 
 
-def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None):
+def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
+              lens=None):
     """Fused [B, L, H*D] flash MHA with in-kernel rotary (the transformer
     hot path — avoids every reshape/transpose copy around the kernel).
 
@@ -129,9 +130,9 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None):
     if (rope_cos is not None) and (D % 4 != 0):
         return None  # half-wise padding needs an even half
 
-    fn = lambda q, k, v, bias: flash_mha.mha_attention(
+    fn = lambda q, k, v, bias, lens: flash_mha.mha_attention(
         q, k, v, num_heads, bias=bias, rope_cos=rope_cos,
-        rope_sin=rope_sin)
+        rope_sin=rope_sin, lens=lens)
 
     if _ACTIVE_MESH is not None:
         from jax import shard_map
@@ -147,10 +148,11 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None):
         return shard_map(
             fn, mesh=_ACTIVE_MESH,
             in_specs=(spec3, spec3, spec3,
-                      None if bias is None else spec4),
+                      None if bias is None else spec4,
+                      None if lens is None else P(DATA_AXIS)),
             out_specs=spec3, check_vma=False,
-        )(q, k, v, bias)
-    return fn(q, k, v, bias)
+        )(q, k, v, bias, lens)
+    return fn(q, k, v, bias, lens)
 
 
 def _maybe_sharded_flash(q, k, v, bias):

@@ -217,3 +217,56 @@ def test_mha_attention_multiblock_matches_single():
     ref = _mha_reference(q, k, v, nh, None, cos, sin)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("nh,d,rotary", [(4, 64, True), (4, 24, True),
+                                         (4, 64, False)])
+def test_mha_attention_with_lens_matches_reference(nh, d, rotary):
+    """Length-skipping path: padded key/query blocks skipped, valid rows
+    still match the reference exactly (fwd + grads)."""
+    from oneprot_tpu.kernels.flash_mha import mha_attention
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    rng = np.random.RandomState(3)
+    B, L = 3, 512  # SKIP_BLOCK=256 -> 2 blocks; lens force skipping
+    hd = nh * d
+    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    lens_np = np.array([200, 512, 300], np.int32)
+    mask = (np.arange(L)[None] < lens_np[:, None])
+    bias = jnp.asarray(np.where(mask, 0.0, -1e9)[:, None, None, :],
+                       jnp.float32)
+    lens = jnp.asarray(lens_np)
+    cos = sin = None
+    if rotary:
+        cos, sin = rotary_cos_sin(L, d, jnp.float32)
+
+    out = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos, rope_sin=sin,
+                        lens=lens, interpret=True)
+    ref = _mha_reference(q, k, v, nh, bias, cos, sin)
+    valid = mask
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               rtol=1e-4, atol=1e-5)
+
+    # grads: only valid positions receive upstream gradient (as in the
+    # model, where pad positions are mask-isolated)
+    gmask = jnp.asarray(mask[..., None].astype(np.float32))
+
+    def loss_fused(q, k, v):
+        o = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos,
+                          rope_sin=sin, lens=lens, interpret=True)
+        return jnp.sum(jnp.sin(o) * gmask)
+
+    def loss_ref(q, k, v):
+        o = _mha_reference(q, k, v, nh, bias, cos, sin)
+        return jnp.sum(jnp.sin(o) * gmask)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fused, g_ref, "qkv"):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a[valid], b[valid], rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{name} mismatch (valid rows)")
+        np.testing.assert_allclose(a[~valid], 0.0, atol=1e-6,
+                                   err_msg=f"d{name} nonzero on pad rows")
