@@ -197,6 +197,7 @@ class OneProtDataModule:
         buckets: Optional[List[int]] = None,
         prefetch: int = 2,
         seed: int = 0,
+        group_by_length: bool = True,
     ):
         self.modalities = modalities
         self.num_workers = num_workers  # collate thread-pool width
@@ -204,6 +205,7 @@ class OneProtDataModule:
         self.buckets = list(buckets) if buckets else None
         self.prefetch = prefetch
         self.seed = seed
+        self.group_by_length = group_by_length
         self.datasets: Dict[str, Any] = {}
 
     def setup(self, stage: Optional[str] = None) -> None:
@@ -241,6 +243,7 @@ class OneProtDataModule:
                 self.datasets[key], batch_size=int(batch_size),
                 shuffle=shuffle, seed=self.seed, prefetch=self.prefetch,
                 num_workers=self.num_workers,
+                group_by_length=self.group_by_length,
                 # static shapes + even DP sharding for train (val/test keep
                 # every item; the module replicates ragged tail batches)
                 drop_last=shuffle)
