@@ -128,3 +128,48 @@ def test_siglip_production_step_numerics_and_ring(tiny):
         s2, jnp.asarray(seq_ids), jnp.asarray(st_ids)).compile().as_text()
     assert "collective-permute" in hlo, (
         "SigLIP step compiled without a ppermute ring")
+
+
+def test_cached_step_sharded_matches_single(tiny):
+    """The frozen-feature cached train step must agree with the uncached
+    single-device step under the 8-device mesh (the trainer defaults the
+    cache ON, so this is the production pod path)."""
+    from oneprot_tpu.train.feature_cache import FrozenFeatureCache
+
+    def _build_frozen(mesh):
+        seq = create_sequence_encoder(
+            model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+            proj_type="mlp", frozen=True, dtype="float32")
+        st = create_struct_token_encoder(
+            model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+            dtype="float32")
+        return OneProtModule(
+            components={"sequence": seq, "struct_token": st},
+            optimizer=lambda: adam(1e-3), mesh=mesh, seed=0,
+            frozen_param_dtype=None)
+
+    seq_ids = _ids(24, 0)
+    st_ids = _ids(54, 1)
+
+    single = _build_frozen(mesh=None)
+    single.init({"struct_token": (seq_ids, st_ids)})
+    s1, loss1 = single.train_step(single.state, "struct_token", seq_ids,
+                                  st_ids)
+    s1, loss1b = single.train_step(s1, "struct_token", seq_ids, st_ids)
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    sharded = _build_frozen(mesh=mesh)
+    sharded.init({"struct_token": (seq_ids, st_ids)})
+    cache = FrozenFeatureCache()
+    s2 = sharded.state
+    losses = []
+    for _ in range(2):
+        sharded.state = s2
+        pooled = cache.get_pooled(sharded, seq_ids)
+        s2, loss = sharded.train_step_cached(s2, "struct_token", pooled,
+                                             st_ids)
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(losses[0], float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(losses[1], float(loss1b), rtol=1e-4)
+    assert cache.hits == seq_ids.shape[0]  # second step fully cached
