@@ -61,7 +61,8 @@ HUB = os.environ.get("BENCH_HUB", "facebook/esm2_t33_650M_UR50D")
 TOWER = os.environ.get("BENCH_TOWER", "facebook/esm2_t12_35M_UR50D")
 BUCKETS = tuple(int(x) for x in
                 os.environ.get("BENCH_BUCKETS", "256,512,1024").split(","))
-CACHE_DIR = os.environ.get("ONEPROT_JIT_CACHE", "/tmp/oneprot_jit_cache")
+QUANT = os.environ.get("BENCH_QUANT", "none")  # "int8" quantizes the frozen hub
+CACHE_DIR = os.environ.get("ONEPROT_JIT_CACHE")  # default: repo-local .jit_cache
 
 
 def sample_lengths(n: int, seed: int = 1234) -> np.ndarray:
@@ -108,6 +109,13 @@ def baseline_pairs_per_sec(sampled: np.ndarray, batch: int = 16) -> float:
 def main() -> None:
     import jax
 
+    # BENCH_PLATFORM=cpu lets the hermetic test suite smoke-test this script
+    # without touching the TPU (the sitecustomize pins the axon platform, so
+    # the config update must happen before the first device query)
+    platform = os.environ.get("BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     # persistent compilation cache: the driver re-runs this benchmark every
     # round on the same machine — warm starts skip the multi-minute compile
     from oneprot_tpu.core.mesh import enable_compilation_cache
@@ -125,7 +133,8 @@ def main() -> None:
     components = {
         "sequence": create_sequence_encoder(
             model_name_or_path=HUB, output_dim=1024, proj_type="mlp",
-            frozen=True, dtype="bfloat16", remat=False),
+            frozen=True, dtype="bfloat16", remat=False,
+            quantize=None if QUANT in ("none", "") else QUANT),
         "struct_token": create_struct_token_encoder(
             model_name_or_path=TOWER, output_dim=1024, dtype="bfloat16",
             remat=REMAT),

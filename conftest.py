@@ -23,8 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite compiles many tiny train/eval steps
 # repeatedly across tests and runs; caching them cuts suite time drastically
-_CACHE_DIR = os.environ.get("ONEPROT_TEST_JIT_CACHE",
-                            "/tmp/oneprot_jit_cache")
+_CACHE_DIR = os.environ.get(
+    "ONEPROT_TEST_JIT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jit_cache"))
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

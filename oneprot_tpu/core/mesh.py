@@ -36,8 +36,13 @@ def enable_compilation_cache(
     Round-1 wired this up only in tests (VERDICT r1 weak #3) — every entry
     point now calls it.
     """
-    cache_dir = cache_dir or os.environ.get("ONEPROT_JIT_CACHE",
-                                            "/tmp/oneprot_jit_cache")
+    # default INSIDE the repo: /tmp does not survive machine restarts,
+    # the checkout does — warm starts then skip the multi-minute compile
+    # even on a fresh boot (.jit_cache is gitignored)
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jit_cache")
+    cache_dir = cache_dir or os.environ.get("ONEPROT_JIT_CACHE", default_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

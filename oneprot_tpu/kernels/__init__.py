@@ -8,6 +8,8 @@ are asserted equal in tests/test_kernels.py.
 
 from oneprot_tpu.kernels.attention import (  # noqa: F401
     dot_product_attention,
+    fused_mha,
+    fused_tied_row,
     set_active_mesh,
 )
 from oneprot_tpu.kernels.segment_ops import (  # noqa: F401

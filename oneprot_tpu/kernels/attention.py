@@ -124,8 +124,11 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
     D = hd // num_heads
     if D > flash_mha.D_PAD or hd % num_heads:
         return None
+    d_pad = flash_mha.select_d_pad(D, num_heads)
+    group = (2 * flash_mha.D_PAD) // d_pad
     if not flash_mha.supports(
-            B, num_heads, L, L, None if bias is None else bias.shape):
+            B, num_heads, L, L, None if bias is None else bias.shape,
+            group=group):
         return None
     if (rope_cos is not None) and (D % 4 != 0):
         return None  # half-wise padding needs an even half
@@ -153,6 +156,57 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
             out_specs=spec3, check_vma=False,
         )(q, k, v, bias, lens)
     return fn(q, k, v, bias, lens)
+
+
+def fused_tied_row(q, k, v, num_heads, col_bias=None, scale=None):
+    """Fused MSA tied-row attention (frozen tower, fwd-only). Consumes the
+    QKV projections' natural [B, R, L, H*D] layout. Returns None when the
+    fused path doesn't apply (caller falls back to the einsum reference).
+
+    OPT-IN (ONEPROT_TIED_ROW=1): measured SLOWER than the XLA einsum at
+    MSA-1b shapes (9.4 vs 7.2 ms, B4 R32 L1024 H12 on v5e) — the tied
+    contraction over (rows x head_dim) = 2048 is already MXU-optimal for
+    XLA, and the [B,H,L,L] logits HBM round-trip it avoids costs less than
+    the kernel's per-row small-dot loop + scratch traffic. Kept for
+    VMEM-constrained regimes (very large B*H*L^2 logits).
+    """
+    if os.environ.get("ONEPROT_TIED_ROW", "0") != "1":
+        return None
+    env = os.environ.get("ONEPROT_USE_PALLAS", "auto")
+    if env == "0":
+        return None
+    use_pallas = True if env == "1" else _tpu_available()
+    if not use_pallas:
+        return None
+
+    from oneprot_tpu.kernels import tied_row_attention as tra
+
+    B, R, L, hd = q.shape
+    if hd % num_heads:
+        return None
+    if not tra.supports(B, R, L, num_heads, hd // num_heads):
+        return None
+
+    fn = lambda q, k, v, bias: tra.tied_row_attention(
+        q, k, v, num_heads, col_bias=bias, scale=scale)
+
+    if _ACTIVE_MESH is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from oneprot_tpu.core.mesh import DATA_AXIS
+
+        dp = _ACTIVE_MESH.shape[DATA_AXIS]
+        if B % dp != 0:
+            return None
+        spec4 = P(DATA_AXIS, None, None, None)
+        return shard_map(
+            fn, mesh=_ACTIVE_MESH,
+            in_specs=(spec4, spec4, spec4,
+                      None if col_bias is None else spec4),
+            out_specs=spec4, check_vma=False,
+        )(q, k, v, col_bias)
+    return fn(q, k, v, col_bias)
 
 
 def _maybe_sharded_flash(q, k, v, bias):

@@ -1,4 +1,4 @@
-"""Fused multi-head flash attention in [B, L, H*64] layout (head pairs).
+"""Fused multi-head flash attention in [B, L, H*d] layout (head groups).
 
 Replaces the [B, H, L, D] kernel for the transformer encoders' hot path
 (ESM2/BERT forwards — reference src/models/components/sequence_encoder.py:78):
@@ -10,11 +10,15 @@ an extra XLA pass.
 
 Design:
   - Pallas requires the last block dim divisible by 128, so each program
-    handles a HEAD PAIR (2 x 64 lanes); the two heads are sliced in VMEM.
-    Head dims < 64 are zero-padded to 64 half-wise by the dispatcher
-    (oneprot_tpu/kernels/attention.py) so in-kernel rotate_half stays
-    correct; zero pad lanes don't change logits and the true 1/sqrt(D)
-    scale is passed in explicitly.
+    handles a GROUP of G heads at d = 128/G lanes each (G=2 -> d=64 for the
+    650M/BERT towers, G=4 -> d=32 for small towers); the heads are sliced
+    in VMEM. True head dims < d are zero-padded to d half-wise by the
+    dispatcher (oneprot_tpu/kernels/attention.py) so in-kernel rotate_half
+    stays correct; zero pad lanes don't change logits and the true
+    1/sqrt(D) scale is passed in explicitly. Picking the smallest d >= D
+    matters: attention matmul time scales with the padded head width, so
+    the ESM2-35M tower (D=24) runs its whole attention ~2x leaner at d=32
+    than padded to 64.
   - softmax runs in the exp2 domain with scale*log2(e) folded into the q
     prescale and log2(e) folded into the bias — no per-element multiplies.
   - with `lens` given (true sequence lengths, padding at the end), the
@@ -41,12 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-D_PAD = 64                 # padded per-head lane width
-_PAIR = 2 * D_PAD          # lanes per program
+D_PAD = 64                 # default / maximum padded per-head lane width
+_BLOCK_LANES = 2 * D_PAD   # lanes per program (always 128)
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 _NEG_INF = -1e30
-_LSE_LANES = 16            # 8 lanes per head in the pair
+_HEAD_LSE = 8              # lse lanes per head
 
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
@@ -60,8 +64,9 @@ def _block(L: int, default: int) -> int:
     return L
 
 
-def supports(B: int, H: int, Lq: int, Lk: int, bias_shape) -> bool:
-    if H % 2 != 0:
+def supports(B: int, H: int, Lq: int, Lk: int, bias_shape,
+             group: int = 2) -> bool:
+    if H % group != 0:
         return False
     if Lq != Lk or Lq < 128 or Lq % 128 != 0:
         return False
@@ -70,20 +75,23 @@ def supports(B: int, H: int, Lq: int, Lk: int, bias_shape) -> bool:
     return True
 
 
-def _rot_half_pair(x, d):
-    """rotate_half applied independently to each head of a [*, 2d] pair."""
-    a1, a2 = x[:, :d // 2], x[:, d // 2:d]
-    b1, b2 = x[:, d:d + d // 2], x[:, d + d // 2:]
-    return jnp.concatenate([-a2, a1, -b2, b1], axis=-1)
+def _rot_half_group(x, d):
+    """rotate_half applied independently to each head of a [*, G*d] group."""
+    parts = []
+    for g in range(x.shape[-1] // d):
+        h1 = x[:, g * d:g * d + d // 2]
+        h2 = x[:, g * d + d // 2:(g + 1) * d]
+        parts.extend([-h2, h1])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _apply_rot(x, cos, sin, d):
-    return x * cos + _rot_half_pair(x, d) * sin
+    return x * cos + _rot_half_group(x, d) * sin
 
 
 def _apply_rot_t(g, cos, sin, d):
     """Transpose (= inverse) rotation: R^T g = g*cos - rotate_half(g)*sin."""
-    return g * cos - _rot_half_pair(g, d) * sin
+    return g * cos - _rot_half_group(g, d) * sin
 
 
 def _num_k(len_b, block: int, total: int):
@@ -92,15 +100,19 @@ def _num_k(len_b, block: int, total: int):
     return jnp.clip(n, 1, total // block)
 
 
+def _head(x, g, d):
+    return x[:, g * d:(g + 1) * d]
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
-                o_ref, lse_ref, *, block_k, lk, scale, rotary, skip):
+                o_ref, lse_ref, *, block_k, lk, scale, rotary, skip, d):
     in_dtype = q_ref.dtype
-    d = D_PAD
+    G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
     i_q = pl.program_id(2)
     len_b = lens_ref[pl.program_id(0)]
@@ -111,7 +123,7 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
             slq = pl.ds(i_q * block_q, block_q)
             q2 = _apply_rot(q2, cos_ref[slq, :], sin_ref[slq, :], d)
         q2 = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
-        qa, qb = q2[:, :d], q2[:, d:]
+        qs = [_head(q2, g, d) for g in range(G)]
         num_k = lk // block_k
 
         def block(idx, carry=None):
@@ -121,42 +133,35 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                 k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
             bias_blk = bias_ref[0, :, sl]
             v2 = v_ref[0, sl, :]
-            sa = jax.lax.dot_general(qa, k2[:, :d], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            sb = jax.lax.dot_general(qb, k2[:, d:], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            sa = sa + bias_blk
-            sb = sb + bias_blk
-            ma = jnp.max(sa, axis=-1, keepdims=True)
-            mb = jnp.max(sb, axis=-1, keepdims=True)
-            if carry is None:
-                pa = jnp.exp2(sa - ma)
-                pb = jnp.exp2(sb - mb)
-                l_a = jnp.sum(pa, axis=-1, keepdims=True)
-                l_b = jnp.sum(pb, axis=-1, keepdims=True)
-                acc_a = jax.lax.dot_general(
-                    pa.astype(in_dtype), v2[:, :d], (((1,), (0,)), ((), ())),
+            accs, ms, ls = [], [], []
+            for g in range(G):
+                s = jax.lax.dot_general(
+                    qs[g], _head(k2, g, d), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc_b = jax.lax.dot_general(
-                    pb.astype(in_dtype), v2[:, d:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                return acc_a, acc_b, ma, mb, l_a, l_b
-            acc_a, acc_b, m_a, m_b, l_a, l_b = carry
-            m_na = jnp.maximum(m_a, ma)
-            m_nb = jnp.maximum(m_b, mb)
-            corr_a = jnp.exp2(m_a - m_na)
-            corr_b = jnp.exp2(m_b - m_nb)
-            pa = jnp.exp2(sa - m_na)
-            pb = jnp.exp2(sb - m_nb)
-            l_a = l_a * corr_a + jnp.sum(pa, axis=-1, keepdims=True)
-            l_b = l_b * corr_b + jnp.sum(pb, axis=-1, keepdims=True)
-            acc_a = acc_a * corr_a + jax.lax.dot_general(
-                pa.astype(in_dtype), v2[:, :d], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_b = acc_b * corr_b + jax.lax.dot_general(
-                pb.astype(in_dtype), v2[:, d:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc_a, acc_b, m_na, m_nb, l_a, l_b
+                s = s + bias_blk
+                m = jnp.max(s, axis=-1, keepdims=True)
+                if carry is None:
+                    p = jnp.exp2(s - m)
+                    l = jnp.sum(p, axis=-1, keepdims=True)
+                    acc = jax.lax.dot_general(
+                        p.astype(in_dtype), _head(v2, g, d),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    acc0, m0, l0 = carry[g], carry[G + g], carry[2 * G + g]
+                    m_n = jnp.maximum(m0, m)
+                    corr = jnp.exp2(m0 - m_n)
+                    p = jnp.exp2(s - m_n)
+                    l = l0 * corr + jnp.sum(p, axis=-1, keepdims=True)
+                    acc = acc0 * corr + jax.lax.dot_general(
+                        p.astype(in_dtype), _head(v2, g, d),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    m = m_n
+                accs.append(acc)
+                ms.append(m)
+                ls.append(l)
+            return tuple(accs) + tuple(ms) + tuple(ls)
 
         carry = block(0)
         if skip:
@@ -168,15 +173,13 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
             for idx in range(1, num_k):
                 carry = block(idx, carry)
 
-        acc_a, acc_b, m_a, m_b, l_a, l_b = carry
-        la = jnp.maximum(l_a, 1e-30)
-        lb = jnp.maximum(l_b, 1e-30)
-        o_ref[0] = jnp.concatenate([acc_a / la, acc_b / lb],
-                                   axis=-1).astype(o_ref.dtype)
+        accs, ms, ls = carry[:G], carry[G:2 * G], carry[2 * G:]
+        ls = [jnp.maximum(l, 1e-30) for l in ls]
+        o_ref[0] = jnp.concatenate(
+            [accs[g] / ls[g] for g in range(G)], axis=-1).astype(o_ref.dtype)
         lse_ref[0] = jnp.concatenate(
-            [jnp.broadcast_to(m_a + jnp.log2(la), (block_q, 8)),
-             jnp.broadcast_to(m_b + jnp.log2(lb), (block_q, 8))],
-            axis=-1).astype(jnp.float32)
+            [jnp.broadcast_to(ms[g] + jnp.log2(ls[g]), (block_q, _HEAD_LSE))
+             for g in range(G)], axis=-1).astype(jnp.float32)
 
     if skip:
         active = i_q * block_q < len_b
@@ -196,13 +199,19 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
         compute()
 
 
-def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
+def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
          interpret=False):
     B, Lq, hd = q.shape
     Lk = k.shape[1]
-    H2 = hd // _PAIR
-    block_q = _block(Lq, SKIP_BLOCK if skip else DEFAULT_BLOCK_Q)
-    block_k = _block(Lk, SKIP_BLOCK if skip else DEFAULT_BLOCK_K)
+    G = _BLOCK_LANES // d
+    HG = hd // _BLOCK_LANES      # head groups
+    lse_lanes = G * _HEAD_LSE
+    # VMEM budget: each head keeps an f32 [block_q, block_k] score block
+    # alive, so G=4 halves the block size to stay inside scoped vmem
+    dflt_q = DEFAULT_BLOCK_Q // (G // 2)
+    dflt_k = DEFAULT_BLOCK_K // (G // 2)
+    block_q = _block(Lq, SKIP_BLOCK if skip else dflt_q)
+    block_k = _block(Lk, SKIP_BLOCK if skip else dflt_k)
 
     q_map = lambda b, h, i, lref: (b, i, h)
     kv_map = lambda b, h, i, lref: (b, 0, h)
@@ -211,29 +220,33 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H2, Lq // block_q),
+        grid=(B, HG, Lq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, _PAIR), q_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, _PAIR), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, _PAIR), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_map,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Lk), bias_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, _PAIR), cs_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, _PAIR), cs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, _PAIR), q_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, _LSE_LANES),
-                         lambda b, h, i, lref: (b * H2 + h, i, 0),
+            pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, lse_lanes),
+                         lambda b, h, i, lref: (b * HG + h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, lk=Lk, scale=scale,
-                          rotary=rotary, skip=skip),
+                          rotary=rotary, skip=skip, d=d),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),
-            jax.ShapeDtypeStruct((B * H2, Lq, _LSE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B * HG, Lq, lse_lanes), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -249,9 +262,9 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
 
 def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                    do_ref, lse_ref, delta_ref, dq_ref,
-                   *, block_k, lk, scale, rotary, skip):
+                   *, block_k, lk, scale, rotary, skip, d):
     in_dtype = q_ref.dtype
-    d = D_PAD
+    G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
     i_q = pl.program_id(2)
     len_b = lens_ref[pl.program_id(0)]
@@ -267,41 +280,35 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
             q2r = q2
         qf = q2r * jnp.asarray(scale * _LOG2E, in_dtype)
         do2 = do_ref[0]
-        lse2 = lse_ref[0]                                # [bq, 16]
+        lse2 = lse_ref[0]                                # [bq, 8G]
         delta2 = delta_ref[0]
-        lse_a, lse_b = lse2[:, 0:1], lse2[:, 8:9]
-        dl_a, dl_b = delta2[:, 0:1], delta2[:, 8:9]
-        qa, qb = qf[:, :d], qf[:, d:]
-        doa, dob = do2[:, :d], do2[:, d:]
         num_k = lk // block_k
 
         def block(idx, carry):
-            dq_a, dq_b = carry
+            dqs = list(carry)
             sl = pl.ds(idx * block_k, block_k)
             k2 = k_ref[0, sl, :]
             if rotary:
                 k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
             v2 = v_ref[0, sl, :]
             bias_blk = bias_ref[0, :, sl]
-            for (qh, doh, lseh, dlh, kh, vh, side) in (
-                    (qa, doa, lse_a, dl_a, k2[:, :d], v2[:, :d], 0),
-                    (qb, dob, lse_b, dl_b, k2[:, d:], v2[:, d:], 1)):
+            for g in range(G):
+                qh, doh = _head(qf, g, d), _head(do2, g, d)
+                kh, vh = _head(k2, g, d), _head(v2, g, d)
+                lseh = lse2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
+                dlh = delta2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
                 s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 p = jnp.exp2(s + bias_blk - lseh)
                 dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
                 ds = (p * (dp - dlh)).astype(in_dtype)
-                upd = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-                if side == 0:
-                    dq_a = dq_a + upd
-                else:
-                    dq_b = dq_b + upd
-            return dq_a, dq_b
+                dqs[g] = dqs[g] + jax.lax.dot_general(
+                    ds, kh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return tuple(dqs)
 
-        carry = (jnp.zeros((block_q, d), jnp.float32),
-                 jnp.zeros((block_q, d), jnp.float32))
+        carry = tuple(jnp.zeros((block_q, d), jnp.float32) for _ in range(G))
         if skip:
             n_k = _num_k(len_b, block_k, lk)
             carry = block(0, carry)
@@ -334,9 +341,9 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
 
 def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
                     sin_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                    *, block_q, lq, scale, rotary, skip):
+                    *, block_q, lq, scale, rotary, skip, d):
     in_dtype = k_ref.dtype
-    d = D_PAD
+    G = _BLOCK_LANES // d
     j = pl.program_id(2)
     block_k = k_ref.shape[1]
     len_b = lens_ref[pl.program_id(0)]
@@ -355,7 +362,8 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
         num_q = lq // block_q
 
         def block(idx, carry):
-            dk_a, dk_b, dv_a, dv_b = carry
+            dks = list(carry[:G])
+            dvs = list(carry[G:])
             sl = pl.ds(idx * block_q, block_q)
             q2 = q_ref[0, sl, :]
             if rotary:
@@ -364,36 +372,28 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
             do2 = do_ref[0, sl, :]
             lse2 = lse_ref[0, sl, :]
             delta2 = delta_ref[0, sl, :]
-            for side in (0, 1):
-                qh = qf[:, :d] if side == 0 else qf[:, d:]
-                doh = do2[:, :d] if side == 0 else do2[:, d:]
-                kh = k2r[:, :d] if side == 0 else k2r[:, d:]
-                vh = v2[:, :d] if side == 0 else v2[:, d:]
-                lseh = lse2[:, 0:1] if side == 0 else lse2[:, 8:9]
-                dlh = delta2[:, 0:1] if side == 0 else delta2[:, 8:9]
+            for g in range(G):
+                qh, doh = _head(qf, g, d), _head(do2, g, d)
+                kh, vh = _head(k2r, g, d), _head(v2, g, d)
+                lseh = lse2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
+                dlh = delta2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
                 s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 p = jnp.exp2(s + bias_blk - lseh)        # [bq, bk]
                 p_lo = p.astype(in_dtype)
-                dv_upd = jax.lax.dot_general(
+                dvs[g] = dvs[g] + jax.lax.dot_general(
                     p_lo, doh, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
                 ds = (p * (dp - dlh)).astype(in_dtype)
-                dk_upd = jax.lax.dot_general(
+                dks[g] = dks[g] + jax.lax.dot_general(
                     ds, qh, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                if side == 0:
-                    dv_a, dk_a = dv_a + dv_upd, dk_a + dk_upd
-                else:
-                    dv_b, dk_b = dv_b + dv_upd, dk_b + dk_upd
-            return dk_a, dk_b, dv_a, dv_b
+            return tuple(dks) + tuple(dvs)
 
-        carry = (jnp.zeros((block_k, d), jnp.float32),
-                 jnp.zeros((block_k, d), jnp.float32),
-                 jnp.zeros((block_k, d), jnp.float32),
-                 jnp.zeros((block_k, d), jnp.float32))
+        carry = tuple(jnp.zeros((block_k, d), jnp.float32)
+                      for _ in range(2 * G))
         if skip:
             # only q blocks within the true length contribute (pad q rows
             # have do == 0 exactly)
@@ -406,14 +406,13 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
             for idx in range(num_q):
                 carry = block(idx, carry)
 
-        dk_a, dk_b, dv_a, dv_b = carry
         # qf carries scale*log2e; dk needs only scale -> multiply by ln2
-        dk2 = jnp.concatenate([dk_a, dk_b], axis=-1) * _LN2
+        dk2 = jnp.concatenate(list(carry[:G]), axis=-1) * _LN2
         if rotary:
             dk2 = _apply_rot_t(dk2, cos_k.astype(jnp.float32),
                                sin_k.astype(jnp.float32), d)
         dk_ref[0] = dk2.astype(dk_ref.dtype)
-        dv_ref[0] = jnp.concatenate([dv_a, dv_b],
+        dv_ref[0] = jnp.concatenate(list(carry[G:]),
                                     axis=-1).astype(dv_ref.dtype)
 
     if skip:
@@ -433,52 +432,57 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
         compute()
 
 
-def _bwd(scale, rotary, skip, interpret, res, g):
+def _bwd(scale, rotary, skip, d, interpret, res, g):
     q, k, v, bias_b, cos_p, sin_p, lens, out, lse = res
     B, Lq, hd = q.shape
     Lk = k.shape[1]
-    H2 = hd // _PAIR
-    block_q = _block(Lq, SKIP_BLOCK if skip else 512)
-    block_k = _block(Lk, SKIP_BLOCK if skip else 512)
+    G = _BLOCK_LANES // d
+    HG = hd // _BLOCK_LANES
+    lse_lanes = G * _HEAD_LSE
+    bwd_dflt = 512 // (G // 2)
+    block_q = _block(Lq, SKIP_BLOCK if skip else bwd_dflt)
+    block_k = _block(Lk, SKIP_BLOCK if skip else bwd_dflt)
 
     # delta[b, l, head] = sum_d(dout * out) per head, laid out like lse:
-    # [B*H2, L, 16] with lanes 0:8 = head a, 8:16 = head b
+    # [B*HG, L, 8G] with lanes [8g:8g+8] = head g of the group
     go = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
-        B, Lq, H2, 2, D_PAD).sum(-1)                     # [B, Lq, H2, 2]
-    delta = jnp.repeat(go, 8, axis=-1)                   # [B, Lq, H2, 16]
-    delta = delta.transpose(0, 2, 1, 3).reshape(B * H2, Lq, _LSE_LANES)
+        B, Lq, HG, G, d).sum(-1)                         # [B, Lq, HG, G]
+    delta = jnp.repeat(go, _HEAD_LSE, axis=-1)           # [B, Lq, HG, 8G]
+    delta = delta.transpose(0, 2, 1, 3).reshape(B * HG, Lq, lse_lanes)
 
     q_map = lambda b, h, i, lref: (b, i, h)
     kv_full = lambda b, h, i, lref: (b, 0, h)
     bias_full = lambda b, h, i, lref: (b, 0, 0)
     cs_map = lambda b, h, i, lref: (0, 0)
-    lse_q = lambda b, h, i, lref: (b * H2 + h, i, 0)
-    lse_full = lambda b, h, i, lref: (b * H2 + h, 0, 0)
+    lse_q = lambda b, h, i, lref: (b * HG + h, i, 0)
+    lse_full = lambda b, h, i, lref: (b * HG + h, 0, 0)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, lk=Lk,
-                          scale=scale, rotary=rotary, skip=skip),
+                          scale=scale, rotary=rotary, skip=skip, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H2, Lq // block_q),
+            grid=(B, HG, Lq // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, _PAIR), q_map,
+                pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lk, _PAIR), kv_full,
+                pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_full,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lk, _PAIR), kv_full,
+                pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_full,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, Lk), bias_full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _PAIR), cs_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _PAIR), cs_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, _PAIR), q_map,
+                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, _LSE_LANES), lse_q,
+                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, _LSE_LANES), lse_q,
+                pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, lse_lanes), lse_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, lse_lanes), lse_q,
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, _PAIR), q_map,
+            out_specs=pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),
@@ -490,33 +494,35 @@ def _bwd(scale, rotary, skip, interpret, res, g):
     k_map = lambda b, h, j, lref: (b, j, h)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, lq=Lq,
-                          scale=scale, rotary=rotary, skip=skip),
+                          scale=scale, rotary=rotary, skip=skip, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H2, Lk // block_k),
+            grid=(B, HG, Lk // block_k),
             in_specs=[
-                pl.BlockSpec((1, Lq, _PAIR), kv_full,
+                pl.BlockSpec((1, Lq, _BLOCK_LANES), kv_full,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, _PAIR), k_map,
+                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, _PAIR), k_map,
+                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_k),
                              lambda b, h, j, lref: (b, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _PAIR), cs_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _PAIR), cs_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lq, _PAIR), kv_full,
+                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lq, _LSE_LANES), lse_full,
+                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lq, _LSE_LANES), lse_full,
+                pl.BlockSpec((1, Lq, _BLOCK_LANES), kv_full,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Lq, lse_lanes), lse_full,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Lq, lse_lanes), lse_full,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_k, _PAIR), k_map,
+                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, _PAIR), k_map,
+                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -537,26 +543,35 @@ def _bwd(scale, rotary, skip, interpret, res, g):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _mha_core(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _mha_core(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
               interpret):
     out, _ = _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
-                  interpret)
+                  d, interpret)
     return out
 
 
 def _mha_core_fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
-                  interpret):
+                  d, interpret):
     out, lse = _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
-                    interpret)
+                    d, interpret)
     return out, (q, k, v, bias_b, cos_p, sin_p, lens, out, lse)
 
 
-def _mha_core_bwd(scale, rotary, skip, interpret, res, g):
-    return _bwd(scale, rotary, skip, interpret, res, g)
+def _mha_core_bwd(scale, rotary, skip, d, interpret, res, g):
+    return _bwd(scale, rotary, skip, d, interpret, res, g)
 
 
 _mha_core.defvjp(_mha_core_fwd, _mha_core_bwd)
+
+
+def select_d_pad(D: int, H: int) -> int:
+    """Smallest supported padded head width for true head dim D: less
+    padding = proportionally less attention matmul/memory work."""
+    for d in (32, 64):
+        if D <= d and H % (_BLOCK_LANES // d) == 0:
+            return d
+    return D_PAD
 
 
 def mha_attention(
@@ -572,10 +587,10 @@ def mha_attention(
 ) -> jax.Array:
     """Flash MHA on [B, L, H*D] activations with optional fused rotary.
 
-    Head dims <= 64 are padded half-wise to 64 (zero lanes change nothing;
-    the true 1/sqrt(D) softmax scale is used). With `lens`, padded query/key
-    blocks are skipped (requires end-padding consistent with `bias`).
-    Returns [B, L, H*D].
+    Head dims pad half-wise to the smallest supported lane width (32 or 64;
+    zero lanes change nothing, the true 1/sqrt(D) softmax scale is used).
+    With `lens`, padded query/key blocks are skipped (requires end-padding
+    consistent with `bias`). Returns [B, L, H*D].
     """
     B, L, hd = q.shape
     H = num_heads
@@ -585,29 +600,31 @@ def mha_attention(
     scale = 1.0 / (D ** 0.5)
     rotary = rope_cos is not None
     skip = lens is not None
+    d_pad = select_d_pad(D, H)
 
     def pad_halfwise(x):
-        if D == D_PAD:
+        if D == d_pad:
             return x
         xh = x.reshape(B, L, H, 2, D // 2)
-        xh = jnp.pad(xh, ((0, 0),) * 3 + ((0, 0), (0, (D_PAD - D) // 2)))
-        return xh.reshape(B, L, H * D_PAD)
+        xh = jnp.pad(xh, ((0, 0),) * 3 + ((0, 0), (0, (d_pad - D) // 2)))
+        return xh.reshape(B, L, H * d_pad)
 
     qp, kp, vp = pad_halfwise(q), pad_halfwise(k), pad_halfwise(v)
+    G = _BLOCK_LANES // d_pad
 
     if rotary:
-        # per-head table [L, D] = [cos(f), cos(f)]; pad each half to 32
-        # lanes (matching pad_halfwise) then tile for the head pair
+        # per-head table [L, D] = [cos(f), cos(f)]; pad each half (matching
+        # pad_halfwise) then tile for the head group
         ch = rope_cos.reshape(L, 2, D // 2)
         sh = rope_sin.reshape(L, 2, D // 2)
-        pad = ((0, 0), (0, 0), (0, (D_PAD - D) // 2))
-        cos64 = jnp.pad(ch, pad).reshape(L, D_PAD)
-        sin64 = jnp.pad(sh, pad).reshape(L, D_PAD)
-        cos_p = jnp.tile(cos64, (1, 2)).astype(q.dtype)
-        sin_p = jnp.tile(sin64, (1, 2)).astype(q.dtype)
+        pad = ((0, 0), (0, 0), (0, (d_pad - D) // 2))
+        cosd = jnp.pad(ch, pad).reshape(L, d_pad)
+        sind = jnp.pad(sh, pad).reshape(L, d_pad)
+        cos_p = jnp.tile(cosd, (1, G)).astype(q.dtype)
+        sin_p = jnp.tile(sind, (1, G)).astype(q.dtype)
     else:
-        cos_p = jnp.zeros((L, _PAIR), q.dtype)
-        sin_p = jnp.zeros((L, _PAIR), q.dtype)
+        cos_p = jnp.zeros((L, _BLOCK_LANES), q.dtype)
+        sin_p = jnp.zeros((L, _BLOCK_LANES), q.dtype)
 
     if bias is None:
         bias_b = jnp.zeros((B, 1, L), jnp.float32)
@@ -619,8 +636,8 @@ def mha_attention(
         lens_arr = lens.astype(jnp.int32)
 
     out = _mha_core(qp, kp, vp, bias_b, cos_p, sin_p, lens_arr, scale,
-                    rotary, skip, interpret)
-    if D == D_PAD:
+                    rotary, skip, d_pad, interpret)
+    if D == d_pad:
         return out
-    oh = out.reshape(B, L, H, 2, D_PAD // 2)
+    oh = out.reshape(B, L, H, 2, d_pad // 2)
     return oh[..., :D // 2].reshape(B, L, hd)

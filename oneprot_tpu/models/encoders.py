@@ -44,12 +44,13 @@ class SequenceEncoder(nn.Module):
     frozen: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    quant_int8: bool = False  # w8a8 int8 GEMMs; frozen+no-LoRA only
     pretrained_dir: Optional[str] = None  # local HF checkpoint dir
 
     def setup(self):
         self.transformer = Esm2(self.config, lora_rank=self.lora_rank,
                                 lora_alpha=self.lora_alpha, dtype=self.dtype,
-                                remat=self.remat)
+                                remat=self.remat, quant_int8=self.quant_int8)
         self.head = EncoderHead(
             d_model=self.config.hidden_size,
             output_dim=self.output_dim,
@@ -334,8 +335,16 @@ def create_sequence_encoder(
     frozen: bool = True,
     dtype: Any = "float32",
     remat: bool = False,
+    quantize: Optional[str] = None,
 ) -> SequenceEncoder:
     del lora_dropout, lora_target_modules  # dropout rates are 0 in eval path
+    if quantize not in (None, "none", "int8"):
+        raise ValueError(f"quantize={quantize!r}: only 'int8' is supported")
+    quant_int8 = quantize == "int8"
+    if quant_int8 and (not frozen or use_lora):
+        # round() has zero gradient: quantized GEMMs are only correct under
+        # the frozen tower's stop_gradient barrier
+        raise ValueError("quantize='int8' requires frozen=True, use_lora=False")
     pretrained_dir = _local_hf_dir(model_name_or_path) if pretrained else None
     cfg = resolve_esm2_config(model_name_or_path)
     return SequenceEncoder(
@@ -351,6 +360,7 @@ def create_sequence_encoder(
         frozen=frozen,
         dtype=_dtype(dtype),
         remat=remat,
+        quant_int8=quant_int8,
     )
 
 

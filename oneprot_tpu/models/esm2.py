@@ -19,6 +19,11 @@ shapes are static (length-bucketed inputs).
 Optional LoRA (q/k/v) replaces the reference's peft integration
 (sequence_encoder.py:61-74): extra (A, B) factors live under 'lora_A'/'lora_B'
 param names so freeze masks can select them by path.
+
+Optional w8a8 int8 quantization (`quant_int8`, frozen towers only): every
+dense layer swaps to `Int8Dense` (same param tree) for MXU int8 GEMMs.
+Measured at parity with bf16 on v5e via XLA lowering (docs/PERFORMANCE.md
+"Measured and rejected") — shipped as an opt-in, not the default.
 """
 
 from __future__ import annotations
@@ -115,6 +120,53 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos[None, None] + rotate_half(x) * sin[None, None]
 
 
+class Int8Dense(nn.Module):
+    """Dense with w8a8 dynamic int8 quantization for FROZEN towers.
+
+    Param tree is identical to nn.Dense (kernel/bias), so checkpoints and HF
+    weight conversion are unchanged; quantization happens in the forward:
+
+      - weights: symmetric per-output-channel abs-max scales (int8)
+      - activations: symmetric per-token (row) abs-max scales (int8)
+      - int8 x int8 -> int32 dot on the MXU (2x bf16 peak on v5e), then
+        dequant epilogue `* s_x * s_w + bias`.
+
+    Only valid under `stop_gradient` (frozen backbone): `round` has a zero
+    gradient, so the trainable path must never route through this module.
+    The per-step weight-quantize pass is memory-bound and costs ~2 ms for
+    the whole 650M tower — negligible next to the matmul win.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features))
+        w = kernel.astype(jnp.float32)
+        s_w = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+        s_w = jnp.maximum(s_w, 1e-12)
+        w_q = jnp.round(w / s_w).astype(jnp.int8)
+
+        xf = x.astype(jnp.float32)
+        lead = xf.shape[:-1]
+        x2 = xf.reshape(-1, in_dim)
+        s_x = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-12)
+        x_q = jnp.round(x2 / s_x).astype(jnp.int8)
+
+        y = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * s_x * s_w
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(jnp.float32)
+        return y.reshape(*lead, self.features).astype(self.dtype)
+
+
 class LoraDense(nn.Module):
     """Dense with optional LoRA factors (peft-compatible math:
     y = xW + b + (alpha/r) * x @ A^T @ B^T, A init kaiming-uniform, B zeros)."""
@@ -124,11 +176,13 @@ class LoraDense(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
-                     name="dense")(x)
+        dense_cls = Int8Dense if self.quant_int8 else nn.Dense
+        y = dense_cls(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                      name="dense")(x)
         if self.lora_rank > 0:
             in_dim = x.shape[-1]
             a = self.param(
@@ -148,6 +202,7 @@ class Esm2SelfAttention(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
@@ -160,7 +215,7 @@ class Esm2SelfAttention(nn.Module):
         def qkv(name):
             return LoraDense(cfg.hidden_size, lora_rank=self.lora_rank,
                              lora_alpha=self.lora_alpha, dtype=self.dtype,
-                             name=name)(x)
+                             quant_int8=self.quant_int8, name=name)(x)
 
         q2d, k2d, v2d = qkv("q"), qkv("k"), qkv("v")   # [B, L, H*D]
 
@@ -179,7 +234,8 @@ class Esm2SelfAttention(nn.Module):
             k = apply_rotary(k, cos, sin)
             ctx = dot_product_attention(q, k, v, bias=bias)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
+        o_cls = Int8Dense if self.quant_int8 else nn.Dense
+        return o_cls(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
 
 
 class Esm2Layer(nn.Module):
@@ -187,6 +243,7 @@ class Esm2Layer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
@@ -195,13 +252,15 @@ class Esm2Layer(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attn_ln")(x)
         h = Esm2SelfAttention(cfg, self.lora_rank, self.lora_alpha,
-                              dtype=self.dtype, name="attn")(h, bias, lens)
+                              dtype=self.dtype, quant_int8=self.quant_int8,
+                              name="attn")(h, bias, lens)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="ffn_ln")(x)
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        dense_cls = Int8Dense if self.quant_int8 else nn.Dense
+        h = dense_cls(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        h = dense_cls(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
         return x + h
 
 
@@ -213,6 +272,7 @@ class Esm2(nn.Module):
     lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jax.Array) -> jax.Array:
@@ -255,7 +315,8 @@ class Esm2(nn.Module):
             layer_cls = nn.remat(Esm2Layer, static_argnums=())
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
-                          dtype=self.dtype, name=f"layer_{i}")(x, bias, lens)
+                          dtype=self.dtype, quant_int8=self.quant_int8,
+                          name=f"layer_{i}")(x, bias, lens)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_ln")(x)

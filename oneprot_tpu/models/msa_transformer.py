@@ -45,22 +45,31 @@ class TiedRowAttention(nn.Module):
         cfg = self.config
         B, R, L, _ = x.shape
         nh, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
-        q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v")(x)
-        q = q.reshape(B, R, L, nh, hd)
-        k = k.reshape(B, R, L, nh, hd)
-        v = v.reshape(B, R, L, nh, hd)
+        q2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q")(x)
+        k2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k")(x)
+        v2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v")(x)
         scale = (hd ** -0.5) * (R ** -0.5)
-        # tied attention: sum logits over rows
-        logits = jnp.einsum(
-            "brihd,brjhd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        logits = logits + col_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        ctx = jnp.einsum("bhij,brjhd->brihd", probs, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
-        ctx = ctx.reshape(B, R, L, cfg.hidden_size)
+
+        # Hot path: fused tied-row flash kernel — one online softmax for all
+        # R rows, logits never leave VMEM (kernels/tied_row_attention.py).
+        # Safe fwd-only: this tower is always frozen (stop_gradient in
+        # MsaEncoder.backbone_pooled), so no VJP is ever requested.
+        from oneprot_tpu.kernels.attention import fused_tied_row
+
+        ctx = fused_tied_row(q2, k2, v2, nh, col_bias=col_bias, scale=scale)
+        if ctx is None:  # einsum reference path (CPU tests, odd shapes)
+            q = q2.reshape(B, R, L, nh, hd)
+            k = k2.reshape(B, R, L, nh, hd)
+            v = v2.reshape(B, R, L, nh, hd)
+            # tied attention: sum logits over rows
+            logits = jnp.einsum(
+                "brihd,brjhd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            logits = logits + col_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            ctx = jnp.einsum("bhij,brjhd->brihd", probs, v,
+                             preferred_element_type=jnp.float32).astype(v.dtype)
+            ctx = ctx.reshape(B, R, L, cfg.hidden_size)
         return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
 
 

@@ -270,3 +270,62 @@ def test_mha_attention_with_lens_matches_reference(nh, d, rotary):
                                    err_msg=f"d{name} mismatch (valid rows)")
         np.testing.assert_allclose(a[~valid], 0.0, atol=1e-6,
                                    err_msg=f"d{name} nonzero on pad rows")
+
+
+class TestTiedRowAttention:
+    """Fwd-only MSA tied-row flash kernel vs the einsum oracle
+    (oneprot_tpu/models/msa_transformer.py TiedRowAttention math)."""
+
+    def _oracle(self, q, k, v, nh, col_bias, scale):
+        B, R, L, hd = q.shape
+        d = hd // nh
+        qh = q.reshape(B, R, L, nh, d)
+        kh = k.reshape(B, R, L, nh, d)
+        vh = v.reshape(B, R, L, nh, d)
+        logits = jnp.einsum("brihd,brjhd->bhij", qh.astype(jnp.float32),
+                            kh.astype(jnp.float32)) * scale
+        logits = logits + col_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhij,brjhd->brihd", probs, vh.astype(jnp.float32))
+        return ctx.reshape(B, R, L, hd)
+
+    @pytest.mark.parametrize("R,L", [(4, 256), (3, 384)])
+    def test_matches_oracle(self, R, L):
+        from oneprot_tpu.kernels.tied_row_attention import tied_row_attention
+
+        B, nh, d = 2, 4, 64
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, R, L, nh * d), jnp.float32)
+        k = jnp.asarray(rng.randn(B, R, L, nh * d), jnp.float32)
+        v = jnp.asarray(rng.randn(B, R, L, nh * d), jnp.float32)
+        # mask the tail columns like the MSA col bias does
+        bias = np.zeros((B, 1, 1, L), np.float32)
+        bias[0, ..., L - 17:] = -1e9
+        bias = jnp.asarray(bias)
+        scale = (d ** -0.5) * (R ** -0.5)
+
+        out = tied_row_attention(q, k, v, nh, col_bias=bias, scale=scale,
+                                 interpret=True)
+        ref = self._oracle(q, k, v, nh, bias, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_rejects_unsupported(self):
+        from oneprot_tpu.kernels.tied_row_attention import tied_row_attention
+
+        q = jnp.zeros((1, 2, 256, 3 * 64))  # odd head count
+        with pytest.raises(ValueError):
+            tied_row_attention(q, q, q, 3)
+
+
+def test_select_d_pad_head_groups():
+    """Padded lane width selection: smallest {32, 64} fitting the head dim,
+    subject to the group (128/d) dividing the head count."""
+    from oneprot_tpu.kernels.flash_mha import select_d_pad
+
+    assert select_d_pad(64, 20) == 64   # 650M hub
+    assert select_d_pad(24, 20) == 32   # 35M tower: 20 % 4 == 0
+    assert select_d_pad(16, 20) == 32   # 8M tower
+    assert select_d_pad(32, 20) == 32   # 150M tower: exact
+    assert select_d_pad(64, 12) == 64   # BERT-base
+    assert select_d_pad(24, 2) == 64    # 2 heads can't form groups of 4

@@ -184,3 +184,71 @@ def _strip_lora(tree):
         return {k: _strip_lora(v) for k, v in tree.items()
                 if k not in ("lora_A", "lora_B")}
     return tree
+
+
+def test_int8_quantized_esm2_matches_float():
+    """w8a8 int8 GEMM path (frozen-hub quantization, `quantize: int8`):
+    identical param tree to the float model, outputs within quantization
+    noise (per-channel weight + per-token activation scales)."""
+    from oneprot_tpu.models.esm2 import Esm2, Esm2Config
+
+    cfg = Esm2Config(hidden_size=64, num_layers=2, num_heads=2,
+                     intermediate_size=128)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(4, 24, (2, 16)).astype(np.int32)
+    ids[:, 0] = 0
+    ids[:, -1] = 2
+    ids[0, 10:] = 1
+
+    m_f = Esm2(cfg)
+    m_q = Esm2(cfg, quant_int8=True)
+    params = m_f.init(jax.random.key(0), jnp.asarray(ids))["params"]
+    out_f = np.asarray(m_f.apply({"params": params}, jnp.asarray(ids)))
+    # same params drive the quantized model directly: param trees match
+    out_q = np.asarray(m_q.apply({"params": params}, jnp.asarray(ids)))
+    cos = (out_f * out_q).sum(-1) / (
+        np.linalg.norm(out_f, axis=-1) * np.linalg.norm(out_q, axis=-1))
+    assert cos.min() > 0.995, cos.min()
+
+
+def test_int8_requires_frozen_no_lora():
+    from oneprot_tpu.models.encoders import create_sequence_encoder
+
+    with pytest.raises(ValueError, match="frozen"):
+        create_sequence_encoder(model_name_or_path="facebook/esm2_t6_8M",
+                                frozen=False, quantize="int8")
+    with pytest.raises(ValueError, match="frozen"):
+        create_sequence_encoder(model_name_or_path="facebook/esm2_t6_8M",
+                                use_lora=True, quantize="int8")
+    with pytest.raises(ValueError, match="int8"):
+        create_sequence_encoder(model_name_or_path="facebook/esm2_t6_8M",
+                                quantize="int4")
+
+
+def test_int8_hub_trains_head_finite_grads():
+    """Quantized frozen hub: grads flow through the trainable head only and
+    stay finite (round() sits behind the stop_gradient barrier)."""
+    from oneprot_tpu.models.encoders import create_sequence_encoder
+    from oneprot_tpu.models.encoders import OneProtModel
+
+    enc = create_sequence_encoder(
+        model_name_or_path="facebook/esm2_t6_8M", output_dim=32,
+        proj_type="mlp", frozen=True, quantize="int8", pretrained=False)
+    model = OneProtModel(encoders={"sequence": enc})
+    ids = np.random.RandomState(1).randint(4, 24, (2, 12)).astype(np.int32)
+    ids[:, 0] = 0
+    params = model.init({"params": jax.random.key(0)},
+                        jnp.asarray(ids), "sequence")["params"]
+
+    def loss(p):
+        feats = model.apply({"params": p}, jnp.asarray(ids), "sequence")
+        return jnp.sum(feats ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # head grads nonzero; transformer grads exactly zero (stop_gradient)
+    tr = grads["encoders_sequence"]["transformer"]
+    assert all(np.all(np.asarray(g) == 0) for g in jax.tree.leaves(tr))
+    head = grads["encoders_sequence"]["head"]
+    assert any(np.any(np.asarray(g) != 0) for g in jax.tree.leaves(head))
