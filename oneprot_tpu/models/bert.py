@@ -84,10 +84,12 @@ class BertSelfAttention(nn.Module):
     config: BertConfig
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array],
+                 deterministic: bool = True) -> jax.Array:
         cfg = self.config
         B, L, _ = x.shape
         nh = cfg.num_heads
@@ -95,8 +97,9 @@ class BertSelfAttention(nn.Module):
 
         def qkv(name):
             return LoraDense(cfg.hidden_size, lora_rank=self.lora_rank,
-                             lora_alpha=self.lora_alpha, dtype=self.dtype,
-                             name=name)(x)
+                             lora_alpha=self.lora_alpha,
+                             lora_dropout=self.lora_dropout, dtype=self.dtype,
+                             name=name)(x, deterministic=deterministic)
 
         q2d, k2d, v2d = qkv("q"), qkv("k"), qkv("v")   # [B, L, H*D]
 
@@ -118,13 +121,16 @@ class BertLayer(nn.Module):
     config: BertConfig
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array],
+                 deterministic: bool = True) -> jax.Array:
         cfg = self.config
         h = BertSelfAttention(cfg, self.lora_rank, self.lora_alpha,
-                              dtype=self.dtype, name="attn")(x, bias)
+                              self.lora_dropout, dtype=self.dtype,
+                              name="attn")(x, bias, deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attn_ln")(x + h)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
@@ -140,11 +146,13 @@ class Bert(nn.Module):
     config: BertConfig
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
+    def __call__(self, input_ids: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
         cfg = self.config
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
         B, L = input_ids.shape
@@ -166,8 +174,12 @@ class Bert(nn.Module):
                          name="emb_ln")(x)
 
         bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
-        layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
+        # arg 2 (deterministic) is a python bool -> static under remat
+        layer_cls = (nn.remat(BertLayer, static_argnums=(2,))
+                     if self.remat else BertLayer)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
-                          dtype=self.dtype, name=f"layer_{i}")(x, bias)
+                          self.lora_dropout,
+                          dtype=self.dtype, name=f"layer_{i}")(
+                              x, bias, deterministic)
         return x

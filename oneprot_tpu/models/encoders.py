@@ -41,6 +41,7 @@ class SequenceEncoder(nn.Module):
     learnable_logit_scale: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     frozen: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
@@ -49,7 +50,9 @@ class SequenceEncoder(nn.Module):
 
     def setup(self):
         self.transformer = Esm2(self.config, lora_rank=self.lora_rank,
-                                lora_alpha=self.lora_alpha, dtype=self.dtype,
+                                lora_alpha=self.lora_alpha,
+                                lora_dropout=self.lora_dropout,
+                                dtype=self.dtype,
                                 remat=self.remat, quant_int8=self.quant_int8)
         self.head = EncoderHead(
             d_model=self.config.hidden_size,
@@ -68,10 +71,11 @@ class SequenceEncoder(nn.Module):
         return (self.frozen and self.lora_rank == 0
                 and self.pooling_type in ("mean", "cls"))
 
-    def backbone_pooled(self, input_ids: jax.Array) -> jax.Array:
+    def backbone_pooled(self, input_ids: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
         """Transformer -> pooling; the frozen-cacheable representation."""
         mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
-        hidden = self.transformer(input_ids)
+        hidden = self.transformer(input_ids, deterministic=deterministic)
         if self.frozen and self.lora_rank == 0:
             # frozen backbone with no adapters: hard gradient barrier so
             # autodiff keeps no residuals for the 650M tower (the head after
@@ -84,8 +88,10 @@ class SequenceEncoder(nn.Module):
         """The trainable tail: projection + norm on a pooled representation."""
         return self.head.project(pooled)
 
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        return self.head.project(self.backbone_pooled(input_ids))
+    def __call__(self, input_ids: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        return self.head.project(
+            self.backbone_pooled(input_ids, deterministic=deterministic))
 
 
 class StructTokenEncoder(nn.Module):
@@ -129,6 +135,7 @@ class TextEncoder(nn.Module):
     learnable_logit_scale: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     frozen: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
@@ -136,7 +143,9 @@ class TextEncoder(nn.Module):
 
     def setup(self):
         self.transformer = Bert(self.config, lora_rank=self.lora_rank,
-                                lora_alpha=self.lora_alpha, dtype=self.dtype,
+                                lora_alpha=self.lora_alpha,
+                                lora_dropout=self.lora_dropout,
+                                dtype=self.dtype,
                                 remat=self.remat)
         self.head = EncoderHead(
             d_model=self.config.hidden_size,
@@ -153,9 +162,10 @@ class TextEncoder(nn.Module):
         return (self.frozen and self.lora_rank == 0
                 and self.pooling_type in ("mean", "cls"))
 
-    def backbone_pooled(self, input_ids: jax.Array) -> jax.Array:
+    def backbone_pooled(self, input_ids: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
         mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
-        hidden = self.transformer(input_ids)
+        hidden = self.transformer(input_ids, deterministic=deterministic)
         if self.frozen and self.lora_rank == 0:
             hidden = jax.lax.stop_gradient(hidden)  # see SequenceEncoder
         return self.head.pool(hidden, mask)
@@ -163,8 +173,10 @@ class TextEncoder(nn.Module):
     def head_from_pooled(self, pooled: jax.Array) -> jax.Array:
         return self.head.project(pooled)
 
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        return self.head.project(self.backbone_pooled(input_ids))
+    def __call__(self, input_ids: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        return self.head.project(
+            self.backbone_pooled(input_ids, deterministic=deterministic))
 
 
 class StructGraphEncoder(nn.Module):
@@ -257,7 +269,7 @@ class OneProtModel(nn.Module):
         if modality in ("sequence", "seqsim"):
             modality = "sequence"
         enc = self.encoders[modality]
-        if isinstance(enc, StructGraphEncoder):
+        if isinstance(enc, (StructGraphEncoder, SequenceEncoder, TextEncoder)):
             return enc(inputs, deterministic=deterministic)
         return enc(inputs)
 
@@ -337,7 +349,7 @@ def create_sequence_encoder(
     remat: bool = False,
     quantize: Optional[str] = None,
 ) -> SequenceEncoder:
-    del lora_dropout, lora_target_modules  # dropout rates are 0 in eval path
+    del lora_target_modules  # q/k/v is the only supported target set
     if quantize not in (None, "none", "int8"):
         raise ValueError(f"quantize={quantize!r}: only 'int8' is supported")
     quant_int8 = quantize == "int8"
@@ -357,6 +369,7 @@ def create_sequence_encoder(
         learnable_logit_scale=learnable_logit_scale,
         lora_rank=lora_r if use_lora else 0,
         lora_alpha=lora_alpha,
+        lora_dropout=lora_dropout if use_lora else 0.0,
         frozen=frozen,
         dtype=_dtype(dtype),
         remat=remat,
@@ -406,7 +419,7 @@ def create_text_encoder(
     dtype: Any = "float32",
     remat: bool = False,
 ) -> TextEncoder:
-    del lora_dropout, lora_target_modules
+    del lora_target_modules  # q/k/v is the only supported target set
     cfg = resolve_bert_config(model_name_or_path, vocab_size=vocab_size)
     return TextEncoder(
         pretrained_dir=_local_hf_dir(model_name_or_path),
@@ -418,6 +431,7 @@ def create_text_encoder(
         learnable_logit_scale=learnable_logit_scale,
         lora_rank=lora_r if use_lora else 0,
         lora_alpha=lora_alpha,
+        lora_dropout=lora_dropout if use_lora else 0.0,
         frozen=frozen,
         dtype=_dtype(dtype),
         remat=remat,

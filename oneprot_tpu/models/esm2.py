@@ -21,9 +21,14 @@ Optional LoRA (q/k/v) replaces the reference's peft integration
 param names so freeze masks can select them by path.
 
 Optional w8a8 int8 quantization (`quant_int8`, frozen towers only): every
-dense layer swaps to `Int8Dense` (same param tree) for MXU int8 GEMMs.
-Measured at parity with bf16 on v5e via XLA lowering (docs/PERFORMANCE.md
-"Measured and rejected") — shipped as an opt-in, not the default.
+dense layer swaps to `Int8Dense` for MXU int8 GEMMs (int8 peak is ~2x bf16
+on v5e). Weights are quantized ONCE at load time into int8 params
+(`kernel_q` + per-channel `kernel_scale` — see `quantize_esm2_int8_tree`);
+activations are quantized per token in the forward. Measured on v5e with
+synced timing (scripts/microbench_int8.py): 1.66x/1.93x/1.06x over the bf16
+dense path at the 650M qkv/fc1/fc2 shapes. Round-1's "int8 at parity with
+bf16" finding was an artifact of non-blocking dispatch timing on the
+tunneled backend and is superseded (docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -120,21 +125,47 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos[None, None] + rotate_half(x) * sin[None, None]
 
 
+def quantize_int8_kernel(w: jax.Array):
+    """fp kernel [K, N] -> (int8 kernel_q [K, N], f32 kernel_scale [1, N]):
+    symmetric per-output-channel abs-max quantization."""
+    w = jnp.asarray(w, jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0,
+                      1e-12)
+    return jnp.round(w / s_w).astype(jnp.int8), s_w
+
+
+def quantize_esm2_int8_tree(tree):
+    """Convert a float Esm2 transformer param tree into the Int8Dense layout:
+    every dict holding a `kernel` leaf (q/k/v dense, o, fc1, fc2 — the only
+    kernel-bearing modules inside the transformer; embeddings and LayerNorms
+    have none) is rewritten to `kernel_q` + `kernel_scale`. Used once at
+    weight-load time (train/module.py _load_pretrained) so no per-step
+    weight-quantize pass exists (advisor round-1 finding)."""
+    if isinstance(tree, dict):
+        if "kernel" in tree:
+            out = {k: v for k, v in tree.items() if k != "kernel"}
+            out["kernel_q"], out["kernel_scale"] = quantize_int8_kernel(
+                tree["kernel"])
+            return out
+        return {k: quantize_esm2_int8_tree(v) for k, v in tree.items()}
+    return tree
+
+
 class Int8Dense(nn.Module):
-    """Dense with w8a8 dynamic int8 quantization for FROZEN towers.
+    """Dense with w8a8 int8 quantization for FROZEN towers.
 
-    Param tree is identical to nn.Dense (kernel/bias), so checkpoints and HF
-    weight conversion are unchanged; quantization happens in the forward:
-
-      - weights: symmetric per-output-channel abs-max scales (int8)
-      - activations: symmetric per-token (row) abs-max scales (int8)
-      - int8 x int8 -> int32 dot on the MXU (2x bf16 peak on v5e), then
-        dequant epilogue `* s_x * s_w + bias`.
+    Weights live pre-quantized as params (`kernel_q` int8 + per-output-channel
+    `kernel_scale` f32 — produced from a float checkpoint by
+    `quantize_esm2_int8_tree`), halving frozen-weight HBM traffic and
+    removing any per-step weight-quantize pass. The forward quantizes
+    activations per token (symmetric abs-max), runs an int8 x int8 -> int32
+    dot on the MXU (~2x bf16 peak on v5e), and dequantizes in the XLA-fused
+    epilogue `* s_x * s_w + bias`.
 
     Only valid under `stop_gradient` (frozen backbone): `round` has a zero
     gradient, so the trainable path must never route through this module.
-    The per-step weight-quantize pass is memory-bound and costs ~2 ms for
-    the whole 650M tower — negligible next to the matmul win.
+    Random init uses a fixed scale (3 sigma of lecun-normal) so uninitialized
+    quantized towers are still approximately lecun-distributed for tests.
     """
 
     features: int
@@ -144,12 +175,15 @@ class Int8Dense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_dim = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (in_dim, self.features))
-        w = kernel.astype(jnp.float32)
-        s_w = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
-        s_w = jnp.maximum(s_w, 1e-12)
-        w_q = jnp.round(w / s_w).astype(jnp.int8)
+        s0 = 3.0 / (127.0 * float(in_dim) ** 0.5)
+
+        def kq_init(key, shape):
+            w = nn.initializers.lecun_normal()(key, shape)
+            return jnp.clip(jnp.round(w / s0), -127, 127).astype(jnp.int8)
+
+        w_q = self.param("kernel_q", kq_init, (in_dim, self.features))
+        s_w = self.param("kernel_scale", nn.initializers.constant(s0),
+                         (1, self.features))
 
         xf = x.astype(jnp.float32)
         lead = xf.shape[:-1]
@@ -160,7 +194,7 @@ class Int8Dense(nn.Module):
 
         y = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * s_x * s_w
+        y = y.astype(jnp.float32) * s_x * s_w.astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
@@ -169,17 +203,20 @@ class Int8Dense(nn.Module):
 
 class LoraDense(nn.Module):
     """Dense with optional LoRA factors (peft-compatible math:
-    y = xW + b + (alpha/r) * x @ A^T @ B^T, A init kaiming-uniform, B zeros)."""
+    y = xW + b + (alpha/r) * dropout(x) @ A^T @ B^T, A init kaiming-uniform,
+    B zeros; input dropout on the LoRA branch only, matching peft's
+    LoraLayer — reference sequence_encoder.py:66-73 passes lora_dropout)."""
 
     features: int
     use_bias: bool = True
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant_int8: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         dense_cls = Int8Dense if self.quant_int8 else nn.Dense
         y = dense_cls(self.features, use_bias=self.use_bias, dtype=self.dtype,
                       name="dense")(x)
@@ -193,7 +230,11 @@ class LoraDense(nn.Module):
             b = self.param(
                 "lora_B", nn.initializers.zeros, (self.lora_rank, self.features)
             ).astype(self.dtype)
-            y = y + (self.lora_alpha / self.lora_rank) * ((x @ a) @ b)
+            xl = x
+            if self.lora_dropout > 0.0:
+                xl = nn.Dropout(self.lora_dropout)(
+                    xl, deterministic=deterministic)
+            y = y + (self.lora_alpha / self.lora_rank) * ((xl @ a) @ b)
         return y
 
 
@@ -201,12 +242,14 @@ class Esm2SelfAttention(nn.Module):
     config: Esm2Config
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
-                 lens: Optional[jax.Array] = None) -> jax.Array:
+                 lens: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
         cfg = self.config
         B, L, H = x.shape
         nh = cfg.num_heads
@@ -214,8 +257,10 @@ class Esm2SelfAttention(nn.Module):
 
         def qkv(name):
             return LoraDense(cfg.hidden_size, lora_rank=self.lora_rank,
-                             lora_alpha=self.lora_alpha, dtype=self.dtype,
-                             quant_int8=self.quant_int8, name=name)(x)
+                             lora_alpha=self.lora_alpha,
+                             lora_dropout=self.lora_dropout, dtype=self.dtype,
+                             quant_int8=self.quant_int8, name=name)(
+                                 x, deterministic=deterministic)
 
         q2d, k2d, v2d = qkv("q"), qkv("k"), qkv("v")   # [B, L, H*D]
 
@@ -242,18 +287,21 @@ class Esm2Layer(nn.Module):
     config: Esm2Config
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
-                 lens: Optional[jax.Array] = None) -> jax.Array:
+                 lens: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attn_ln")(x)
         h = Esm2SelfAttention(cfg, self.lora_rank, self.lora_alpha,
+                              self.lora_dropout,
                               dtype=self.dtype, quant_int8=self.quant_int8,
-                              name="attn")(h, bias, lens)
+                              name="attn")(h, bias, lens, deterministic)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="ffn_ln")(x)
@@ -270,12 +318,14 @@ class Esm2(nn.Module):
     config: Esm2Config
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     quant_int8: bool = False
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
+    def __call__(self, input_ids: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
         cfg = self.config
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
 
@@ -312,11 +362,13 @@ class Esm2(nn.Module):
 
         layer_cls = Esm2Layer
         if self.remat:
-            layer_cls = nn.remat(Esm2Layer, static_argnums=())
+            # arg 3 (deterministic) is a python bool -> static under remat
+            layer_cls = nn.remat(Esm2Layer, static_argnums=(3,))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
+                          self.lora_dropout,
                           dtype=self.dtype, quant_int8=self.quant_int8,
-                          name=f"layer_{i}")(x, bias, lens)
+                          name=f"layer_{i}")(x, bias, lens, deterministic)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_ln")(x)

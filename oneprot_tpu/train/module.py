@@ -135,9 +135,16 @@ class OneProtModule:
             # frozen leaves never meet an optimizer: store them bf16. Halves
             # the 650M hub's HBM footprint and removes a per-step fp32->bf16
             # convert of the whole tower (compute dtype is bf16 anyway).
-            params = jax.tree.map(
-                lambda p, trainable_leaf: p
-                if trainable_leaf or not jnp.issubdtype(p.dtype, jnp.floating)
+            # int8 kernels (not floating) and int8 dequant scales
+            # (`kernel_scale`: bf16's 8 mantissa bits would add ~0.4%
+            # dequantization error on top of the quantization noise) keep
+            # their dtypes.
+            params = jax.tree_util.tree_map_with_path(
+                lambda path, p, trainable_leaf: p
+                if (trainable_leaf
+                    or not jnp.issubdtype(p.dtype, jnp.floating)
+                    or any(getattr(k, "key", None) == "kernel_scale"
+                           for k in path))
                 else p.astype(jnp.bfloat16),
                 params, self.mask)
         trainable, _ = optim_lib.partition_params(params, self.mask)
@@ -221,6 +228,11 @@ class OneProtModule:
                 converted = convert_esm2_state_dict(
                     sd, enc.config.num_layers,
                     extra_vocab_rows=max(extra, 0), seed=self.seed)
+                if getattr(enc, "quant_int8", False):
+                    # one-time weight quantization into the Int8Dense layout
+                    from oneprot_tpu.models.esm2 import quantize_esm2_int8_tree
+
+                    converted = quantize_esm2_int8_tree(converted)
             elif isinstance(enc, enc_lib.TextEncoder):
                 converted = convert_bert_state_dict(sd, enc.config.num_layers)
             else:

@@ -188,9 +188,11 @@ def _strip_lora(tree):
 
 def test_int8_quantized_esm2_matches_float():
     """w8a8 int8 GEMM path (frozen-hub quantization, `quantize: int8`):
-    identical param tree to the float model, outputs within quantization
-    noise (per-channel weight + per-token activation scales)."""
-    from oneprot_tpu.models.esm2 import Esm2, Esm2Config
+    float params are quantized ONCE via quantize_esm2_int8_tree into the
+    Int8Dense layout (kernel_q int8 + per-channel kernel_scale); outputs
+    stay within quantization noise of the float model."""
+    from oneprot_tpu.models.esm2 import (Esm2, Esm2Config,
+                                         quantize_esm2_int8_tree)
 
     cfg = Esm2Config(hidden_size=64, num_layers=2, num_heads=2,
                      intermediate_size=128)
@@ -204,8 +206,13 @@ def test_int8_quantized_esm2_matches_float():
     m_q = Esm2(cfg, quant_int8=True)
     params = m_f.init(jax.random.key(0), jnp.asarray(ids))["params"]
     out_f = np.asarray(m_f.apply({"params": params}, jnp.asarray(ids)))
-    # same params drive the quantized model directly: param trees match
-    out_q = np.asarray(m_q.apply({"params": params}, jnp.asarray(ids)))
+    q_params = quantize_esm2_int8_tree(params)
+    # layout check: every dense kernel replaced by kernel_q + kernel_scale
+    d = q_params["layer_0"]["attn"]["q"]["dense"]
+    assert d["kernel_q"].dtype == jnp.int8
+    assert d["kernel_scale"].shape == (1, cfg.hidden_size)
+    assert "kernel" not in d
+    out_q = np.asarray(m_q.apply({"params": q_params}, jnp.asarray(ids)))
     cos = (out_f * out_q).sum(-1) / (
         np.linalg.norm(out_f, axis=-1) * np.linalg.norm(out_q, axis=-1))
     assert cos.min() > 0.995, cos.min()
@@ -240,15 +247,68 @@ def test_int8_hub_trains_head_finite_grads():
     params = model.init({"params": jax.random.key(0)},
                         jnp.asarray(ids), "sequence")["params"]
 
-    def loss(p):
+    # production path: only the trainable (head) subtree meets jax.grad —
+    # the frozen transformer (which now holds int8 kernels) stays a closure
+    head_params = params["encoders_sequence"]["head"]
+
+    def loss(head_p):
+        p = dict(params, encoders_sequence=dict(
+            params["encoders_sequence"], head=head_p))
         feats = model.apply({"params": p}, jnp.asarray(ids), "sequence")
         return jnp.sum(feats ** 2)
 
-    grads = jax.grad(loss)(params)
+    grads = jax.grad(loss)(head_params)
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
-    # head grads nonzero; transformer grads exactly zero (stop_gradient)
-    tr = grads["encoders_sequence"]["transformer"]
-    assert all(np.all(np.asarray(g) == 0) for g in jax.tree.leaves(tr))
-    head = grads["encoders_sequence"]["head"]
-    assert any(np.any(np.asarray(g) != 0) for g in jax.tree.leaves(head))
+    assert any(np.any(np.asarray(g) != 0) for g in leaves)
+
+
+def test_lora_dropout_fires_only_in_training_mode():
+    """lora_dropout (reference sequence_encoder.py:66-73 passes 0.1 to peft)
+    perturbs the LoRA branch input when deterministic=False and is identity
+    in eval mode; the base dense path is never dropped (peft LoraLayer)."""
+    from oneprot_tpu.models.esm2 import LoraDense
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16), jnp.float32)
+    m = LoraDense(8, lora_rank=4, lora_dropout=0.5)
+    params = m.init(jax.random.key(0), x)["params"]
+    # B init is zeros -> make the LoRA branch contribute
+    params = dict(params, lora_B=jnp.ones_like(params["lora_B"]))
+
+    out_eval = m.apply({"params": params}, x, True)
+    out_eval2 = m.apply({"params": params}, x, True)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
+
+    out_a = m.apply({"params": params}, x, False,
+                    rngs={"dropout": jax.random.key(1)})
+    out_b = m.apply({"params": params}, x, False,
+                    rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_eval))
+
+
+def test_lora_dropout_threads_through_sequence_encoder():
+    """create_sequence_encoder no longer discards lora_dropout: the train-mode
+    forward (deterministic=False) is stochastic, eval mode is not."""
+    from oneprot_tpu.models.encoders import create_sequence_encoder
+
+    enc = create_sequence_encoder(
+        model_name_or_path="facebook/esm2_t6_8M", output_dim=16,
+        proj_type="linear", frozen=True, use_lora=True, lora_r=4,
+        lora_dropout=0.5, pretrained=False)
+    assert enc.lora_dropout == 0.5
+    ids = np.random.RandomState(3).randint(4, 24, (2, 10)).astype(np.int32)
+    ids[:, 0] = 0
+    params = enc.init({"params": jax.random.key(0)}, jnp.asarray(ids))["params"]
+    # push LoRA B factors off zero so dropout on the branch is observable
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.ones_like(p)
+        if any(getattr(k, "key", None) == "lora_B" for k in path) else p,
+        params)
+    out_a = enc.apply({"params": params}, jnp.asarray(ids), False,
+                      rngs={"dropout": jax.random.key(1)})
+    out_b = enc.apply({"params": params}, jnp.asarray(ids), False,
+                      rngs={"dropout": jax.random.key(2)})
+    out_e = enc.apply({"params": params}, jnp.asarray(ids), True)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+    assert np.all(np.isfinite(np.asarray(out_e)))
