@@ -252,11 +252,13 @@ def main() -> None:
         # head+tower only. Reported for PERFORMANCE.md; the headline above
         # stays cold/no-cache.
         if os.environ.get("BENCH_CACHED", "1") == "1":
-            pooled_fn = jax.jit(lambda p, x: module.model.apply(
-                {"params": p}, x, "sequence",
-                method=type(module.model).encode_pooled))
-            pooled_xs = jax.vmap(
-                lambda x: pooled_fn(state.params, x))(seq_ids)
+            # lax.map (sequential) — vmap here fuses K hub forwards into one
+            # program whose temps OOM HBM at 650M scale
+            pooled_fn = jax.jit(lambda p, xs: jax.lax.map(
+                lambda x: module.model.apply(
+                    {"params": p}, x, "sequence",
+                    method=type(module.model).encode_pooled), xs))
+            pooled_xs = pooled_fn(state.params, seq_ids)
             cached_fn = module.train_step_cached_fn("struct_token")
 
             def k_steps_cached(state, pooled_xs, st_xs):

@@ -1,0 +1,104 @@
+"""Child process for the multi-process TRAINING test (VERDICT r2 #2).
+
+Usage: python mp_train_child.py <process_id> <num_processes> <port> <out_npz>
+
+Each process owns 4 virtual CPU devices (global mesh = nproc*4) and holds
+its own slice of every global batch (loader-sharding convention: rows
+pid::nproc). It runs the PRODUCTION multi-host training branch —
+`make_array_from_process_local_data` in OneProtModule._shard_batch
+(train/module.py) — for:
+
+  phase 1: N regular train_steps (full fwd+bwd+Adam; trainable hub)
+  phase 2: N cached train_steps (frozen hub: pooled features computed
+           process-locally, fed through train_step_cached)
+
+and writes per-step losses plus the final trainable params to an npz. The
+parent (tests/test_multiprocess.py) asserts both processes agree and match
+a single-process oracle over the same global batches — the TPU-native
+equivalent of DDP gradient all-reduce correctness (reference
+configs/trainer/ddp.yaml:12).
+"""
+
+import os
+import sys
+
+pid, nproc, port, out_npz = (int(sys.argv[1]), int(sys.argv[2]),
+                             sys.argv[3], sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+
+import numpy as np  # noqa: E402
+
+repo = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "tests"))
+
+from helpers.tiny_models import build_tiny_module, tiny_ids  # noqa: E402
+
+from oneprot_tpu.core.mesh import make_mesh  # noqa: E402
+
+assert len(jax.devices()) == nproc * 4, jax.devices()
+mesh = make_mesh(data=nproc * 4, model=1)
+
+GLOBAL_B = 16
+N_STEPS = 5
+
+# -- phase 1: regular multi-host train steps (trainable hub) ----------------
+module = build_tiny_module(mesh)
+init_seq = tiny_ids(24, 0, batch=GLOBAL_B)
+init_st = tiny_ids(54, 1, batch=GLOBAL_B)
+module.init({"struct_token": (init_seq[:8], init_st[:8])})
+
+state = module.state
+losses = []
+for step in range(N_STEPS):
+    seq_ids = tiny_ids(24, 100 + step, batch=GLOBAL_B)
+    st_ids = tiny_ids(54, 200 + step, batch=GLOBAL_B)
+    # loader-sharding convention: this process holds rows pid::nproc
+    state, loss = module.train_step(state, "struct_token",
+                                    seq_ids[pid::nproc], st_ids[pid::nproc])
+    losses.append(float(loss))
+
+from oneprot_tpu.train import optim as optim_lib  # noqa: E402
+
+trainable, _ = optim_lib.partition_params(state.params, module.mask)
+flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(trainable)[0]}
+
+# -- phase 2: cached train steps (frozen hub) -------------------------------
+# pooled hub features are computed PROCESS-LOCALLY (the production feature
+# cache holds host numpy arrays), then the cached train step assembles the
+# global batch via make_array_from_process_local_data.
+module_c = build_tiny_module(mesh, frozen_hub=True)
+module_c.init({"struct_token": (init_seq[:8], init_st[:8])})
+local_c = build_tiny_module(None, frozen_hub=True)
+local_c.init({"struct_token": (init_seq[:8], init_st[:8])})
+assert module_c.hub_is_cacheable()
+
+state_c = module_c.state
+losses_c = []
+for step in range(N_STEPS):
+    seq_ids = tiny_ids(24, 100 + step, batch=GLOBAL_B)
+    st_ids = tiny_ids(54, 200 + step, batch=GLOBAL_B)
+    pooled = local_c.encode_pooled(local_c.state.params, "sequence",
+                                   seq_ids[pid::nproc])
+    state_c, loss = module_c.train_step_cached(
+        state_c, "struct_token", np.asarray(pooled), st_ids[pid::nproc])
+    losses_c.append(float(loss))
+
+trainable_c, _ = optim_lib.partition_params(state_c.params, module_c.mask)
+flat_c = {"c:" + "/".join(str(getattr(k, "key", k)) for k in path):
+          np.asarray(v)
+          for path, v in jax.tree_util.tree_flatten_with_path(trainable_c)[0]}
+
+np.savez(out_npz, losses=np.array(losses), losses_c=np.array(losses_c),
+         **flat, **flat_c)
+print(f"proc {pid}: OK losses={losses} losses_c={losses_c}")

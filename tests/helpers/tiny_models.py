@@ -13,7 +13,7 @@ def patch_tiny_esm2():
         hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64)
 
 
-def build_tiny_module(mesh, loss_fn: str = "CLIP"):
+def build_tiny_module(mesh, loss_fn: str = "CLIP", frozen_hub: bool = False):
     patch_tiny_esm2()
     from oneprot_tpu.models.encoders import (
         create_sequence_encoder,
@@ -24,7 +24,7 @@ def build_tiny_module(mesh, loss_fn: str = "CLIP"):
 
     seq = create_sequence_encoder(
         model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
-        proj_type="mlp", frozen=False, dtype="float32")
+        proj_type="mlp", frozen=frozen_hub, dtype="float32")
     st = create_struct_token_encoder(
         model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
         dtype="float32")

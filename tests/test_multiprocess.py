@@ -76,3 +76,92 @@ def test_two_process_eval_matches_single(tmp_path):
             m0[k], v, rtol=1e-4,
             err_msg=f"2-process metrics != single-process for {k}")
     np.testing.assert_allclose(m0["loss"], float(loss), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_train_matches_single(tmp_path):
+    """Multi-process TRAINING correctness (VERDICT r2 #2): N train steps
+    (and N cached steps) over a 2-process x 4-device mesh through the
+    production make_array_from_process_local_data branch match a
+    single-process oracle on the same global batches — the TPU-native
+    equivalent of DDP grad all-reduce (reference configs/trainer/ddp.yaml:12).
+    """
+    port = _free_port()
+    child = os.path.join(HERE, "helpers", "mp_train_child.py")
+    procs = []
+    outs = []
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    for pid in range(2):
+        out = str(tmp_path / f"train_{pid}.npz")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, child, str(pid), "2", str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    d0 = dict(np.load(outs[0]))
+    d1 = dict(np.load(outs[1]))
+    assert d0.keys() == d1.keys()
+    for k in d0:
+        np.testing.assert_allclose(d0[k], d1[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=f"procs disagree on {k}")
+
+    # single-process oracle over the SAME global batches
+    from tests.helpers.tiny_models import build_tiny_module, tiny_ids
+
+    from oneprot_tpu.train import optim as optim_lib
+
+    GLOBAL_B, N_STEPS = 16, 5
+    init_seq = tiny_ids(24, 0, batch=GLOBAL_B)
+    init_st = tiny_ids(54, 1, batch=GLOBAL_B)
+
+    module = build_tiny_module(None)
+    module.init({"struct_token": (init_seq[:8], init_st[:8])})
+    state = module.state
+    oracle_losses = []
+    for step in range(N_STEPS):
+        seq_ids = tiny_ids(24, 100 + step, batch=GLOBAL_B)
+        st_ids = tiny_ids(54, 200 + step, batch=GLOBAL_B)
+        state, loss = module.train_step(state, "struct_token", seq_ids, st_ids)
+        oracle_losses.append(float(loss))
+    np.testing.assert_allclose(d0["losses"], oracle_losses, rtol=1e-5,
+                               err_msg="2-process train losses != oracle")
+    trainable, _ = optim_lib.partition_params(state.params, module.mask)
+    import jax
+
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(trainable)[0]}
+    for k, v in flat.items():
+        np.testing.assert_allclose(
+            d0[k], v, rtol=2e-5, atol=1e-6,
+            err_msg=f"2-process final params != oracle for {k}")
+
+    # cached-path oracle (frozen hub)
+    module_c = build_tiny_module(None, frozen_hub=True)
+    module_c.init({"struct_token": (init_seq[:8], init_st[:8])})
+    state_c = module_c.state
+    oracle_losses_c = []
+    for step in range(N_STEPS):
+        seq_ids = tiny_ids(24, 100 + step, batch=GLOBAL_B)
+        st_ids = tiny_ids(54, 200 + step, batch=GLOBAL_B)
+        # use the live state: donate_argnums invalidated the init buffers
+        pooled = module_c.encode_pooled(state_c.params, "sequence", seq_ids)
+        state_c, loss = module_c.train_step_cached(
+            state_c, "struct_token", np.asarray(pooled), st_ids)
+        oracle_losses_c.append(float(loss))
+    np.testing.assert_allclose(d0["losses_c"], oracle_losses_c, rtol=1e-5,
+                               err_msg="2-process cached losses != oracle")
+    trainable_c, _ = optim_lib.partition_params(state_c.params, module_c.mask)
+    flat_c = {"c:" + "/".join(str(getattr(k, "key", k)) for k in path):
+              np.asarray(v)
+              for path, v in jax.tree_util.tree_flatten_with_path(
+                  trainable_c)[0]}
+    for k, v in flat_c.items():
+        np.testing.assert_allclose(
+            d0[k], v, rtol=2e-5, atol=1e-6,
+            err_msg=f"2-process cached final params != oracle for {k}")
