@@ -137,13 +137,15 @@ def embed_all(module, dataset: CombinedDataset, batch_size: int = 16,
         log.warning(f"model has no encoder for {skipped}; skipping")
     first = {m: first[m] for m in available}
     module.init_for_restore()  # full template: checkpoint has ALL encoders
-    if run_dir is not None:
-        path = os.path.join(run_dir, "checkpoints", ckpt)
-        if os.path.isdir(path):
-            module.state = CheckpointManager.restore_path(path, module.state)
-            log.info(f"restored checkpoint {path}")
-        else:
-            log.warning(f"no checkpoint at {path}; using random init")
+    if run_dir is not None or os.path.isfile(str(ckpt)):
+        from oneprot_tpu.train.checkpoint import restore_any
+
+        try:
+            # Orbax run checkpoint OR a reference Lightning .ckpt file
+            # (ckpt_format auto-detected — VERDICT r2 #3 migration path)
+            log.info(f"restored {restore_any(module, run_dir, ckpt)}")
+        except FileNotFoundError as e:
+            log.warning(f"{e}; using random init")
 
     all_embeddings: Dict[str, List[np.ndarray]] = {}
     for batch in dataset.batches(batch_size):

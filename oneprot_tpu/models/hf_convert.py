@@ -264,3 +264,164 @@ def export_peft_lora(params: Dict[str, Any], num_layers: int,
                 out[f"{name}.lora_A.weight"] = _np(node["lora_A"]).T
                 out[f"{name}.lora_B.weight"] = _np(node["lora_B"]).T
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-trained OneProt Lightning checkpoints -> flax params
+# ---------------------------------------------------------------------------
+
+
+def load_lightning_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference Lightning .ckpt and return its state_dict
+    (reference eval.py:128-133 `torch.load(...)["state_dict"]`)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def _split_peft(tsd: Mapping[str, np.ndarray]):
+    """Normalize a (possibly peft-wrapped) HF transformer state dict:
+    strips `base_model.model.` / `.base_layer` (peft Linear wrapping) and
+    splits out LoRA factors keyed `<module>.lora_{A,B}.weight` (the adapter
+    name infix `.default.` is dropped)."""
+    import re
+
+    hf, lora = {}, {}
+    for k, v in tsd.items():
+        k = k.removeprefix("base_model.model.").replace(".base_layer", "")
+        m = re.match(r"(.*)\.lora_([AB])\.(?:[^.]+\.)?weight$", k)
+        if m:
+            lora[f"{m.group(1)}.lora_{m.group(2)}.weight"] = v
+        else:
+            hf[k] = v
+    return hf, lora
+
+
+def _convert_ref_head(sub: Mapping[str, np.ndarray], enc) -> Dict[str, Any]:
+    """Reference BaseEncoder head (proj/norm/pooling Sequentials,
+    base_encoder.py:129-194) -> EncoderHead flax params."""
+
+    def ln(n):
+        return {"scale": sub[f"{n}.weight"], "bias": sub[f"{n}.bias"]}
+
+    head: Dict[str, Any] = {}
+    proj_type = getattr(enc, "proj_type", None)
+    if proj_type == "linear":
+        head["proj"] = {"ln": ln("proj.0"),
+                        "dense": {"kernel": sub["proj.1.weight"].T}}
+    elif proj_type == "mlp":
+        head["proj"] = {"ln1": ln("proj.0"),
+                        "dense1": {"kernel": sub["proj.1.weight"].T},
+                        "ln2": ln("proj.3"),
+                        "dense2": {"kernel": sub["proj.4.weight"].T}}
+    if (getattr(enc, "learnable_logit_scale", False)
+            and "norm.1.log_logit_scale" in sub):
+        head["logit_scale"] = {
+            "log_logit_scale": np.asarray(
+                sub["norm.1.log_logit_scale"]).reshape(())}
+    if (getattr(enc, "pooling_type", "") == "attention1d"
+            and "pooling.layer.weight" in sub):
+        # MaskedConv1d(hidden, 1, kernel=1): weight [1, hidden, 1] is exactly
+        # a Dense(hidden -> 1) kernel
+        w = np.asarray(sub["pooling.layer.weight"]).reshape(1, -1).T
+        head["attention1d"] = {"attn": {
+            "kernel": w, "bias": np.asarray(sub["pooling.layer.bias"])}}
+    return head
+
+
+def _merge_converted(target: Any, new: Any, path: str = "") -> Any:
+    """Deep-merge `new` onto the param template `target`, preserving leaves
+    the checkpoint does not cover and casting to the template dtype."""
+    if isinstance(target, dict):
+        out = dict(target)
+        if not isinstance(new, dict):
+            raise ValueError(f"structure mismatch at {path!r}")
+        for k, v in new.items():
+            if k in out:
+                out[k] = _merge_converted(out[k], v, f"{path}/{k}")
+            else:
+                raise KeyError(
+                    f"checkpoint key {path}/{k} not in param template")
+        return out
+    arr = np.asarray(new)
+    tgt = np.asarray(target)
+    if arr.shape != tgt.shape:
+        raise ValueError(
+            f"shape mismatch at {path!r}: ckpt {arr.shape} vs "
+            f"model {tgt.shape}")
+    return arr.astype(tgt.dtype)
+
+
+def convert_oneprot_state_dict(
+    state_dict: Mapping[str, Any],
+    encoders: Mapping[str, Any],
+    params: Dict[str, Any],
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Map a reference-trained OneProtLitModule state_dict onto the flax
+    param tree (VERDICT r2 #3; reference src/train.py:73-82 strips an
+    optional `model.` prefix, src/eval.py:128-133 loads raw).
+
+    Covers all encoder towers whose architectures transfer weight-for-weight
+    (sequence/struct_token: HF EsmModel incl. peft-LoRA factors; text: HF
+    BertModel; msa: fair-esm MSATransformer) plus every head (projection,
+    learnable logit scale, attention1d pooling). The struct_graph/pocket GNN
+    is a first-party re-design (dense padded kNN vs DIG ProNet's
+    torch_geometric graph), so only its head converts — backbone weights
+    from DIG cannot be mapped and a warning is logged.
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    first = next(iter(sd), "")
+    if first.startswith("model."):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+
+    out = dict(params)
+    for name, enc in encoders.items():
+        pref = f"network.{name}."
+        sub = {k[len(pref):]: v for k, v in sd.items() if k.startswith(pref)}
+        key = f"encoders_{name}"
+        if not sub or key not in params:
+            continue
+        tgt = dict(out[key])
+        tsd = {k[len("transformer."):]: v for k, v in sub.items()
+               if k.startswith("transformer.")}
+        cls = type(enc).__name__
+        conv = None
+        if cls in ("SequenceEncoder", "StructTokenEncoder") and tsd:
+            hf, lora = _split_peft(tsd)
+            emb_rows = hf["embeddings.word_embeddings.weight"].shape[0]
+            extra = enc.config.vocab_size - emb_rows
+            conv = convert_esm2_state_dict(
+                hf, enc.config.num_layers,
+                extra_vocab_rows=max(extra, 0), seed=seed)
+            if lora:
+                conv = import_peft_lora(lora, conv, enc.config.num_layers)
+            if getattr(enc, "quant_int8", False):
+                from oneprot_tpu.models.esm2 import quantize_esm2_int8_tree
+
+                conv = quantize_esm2_int8_tree(conv)
+        elif cls == "TextEncoder" and tsd:
+            hf, lora = _split_peft(tsd)
+            conv = convert_bert_state_dict(hf, enc.config.num_layers)
+            if lora:
+                conv = import_peft_lora(lora, conv, enc.config.num_layers)
+        elif cls == "MsaEncoder" and tsd:
+            conv = convert_msa1b_state_dict(tsd, enc.config.num_layers)
+        elif tsd or any(k.startswith("encoder.") for k in sub):
+            log.warning(
+                f"{name}: reference GNN backbone (DIG ProNet) does not map "
+                "onto the first-party graph encoder; converting head only")
+        if conv is not None:
+            tgt["transformer"] = _merge_converted(
+                tgt["transformer"], conv, f"{name}/transformer")
+        head = _convert_ref_head(sub, enc)
+        if head:
+            tgt["head"] = _merge_converted(tgt["head"], head, f"{name}/head")
+        out[key] = tgt
+    return out

@@ -49,12 +49,13 @@ class OneProtEmbedder:
 
         module, cfg = load_trained_module(run_dir)
         module.init_for_restore()
-        path = os.path.join(run_dir, "checkpoints", ckpt)
-        if os.path.isdir(path):
-            module.state = CheckpointManager.restore_path(path, module.state)
-            log.info(f"loaded {path}")
-        else:
-            log.warning(f"no checkpoint at {path}; random weights")
+        from oneprot_tpu.train.checkpoint import restore_any
+
+        try:
+            # Orbax name/dir or a reference Lightning .ckpt file
+            log.info(f"loaded {restore_any(module, run_dir, ckpt)}")
+        except FileNotFoundError as e:
+            log.warning(f"{e}; random weights")
         buckets = (cfg.get("data", {}) or {}).get("buckets") or DEFAULT_BUCKETS
         text_vocab = str((cfg.get("paths", {}) or {}).get("text_vocab", "tiny"))
         return cls(module, buckets=buckets, text_vocab=text_vocab)
