@@ -74,10 +74,10 @@ class DataLoader:
                 self._lengths = False
         return self._lengths if self._lengths is not False else None
 
-    def _batches(self) -> Iterator[List[Any]]:
+    def _batches(self, epoch: int) -> Iterator[List[Any]]:
         n = len(self.dataset)
         order = np.arange(n)
-        rng = np.random.RandomState(self.seed + self.epoch)
+        rng = np.random.RandomState(self.seed + epoch)
         if self.shuffle:
             # same permutation on every host (seeded), then a per-process
             # interleaved shard: on multi-host pods each process feeds its
@@ -114,10 +114,14 @@ class DataLoader:
             yield [self.dataset[int(i)] for i in idxs]
 
     def __iter__(self):
-        rng_seed = self.seed * 100003 + self.epoch
+        # both the order RNG and the collate RNG key off the SAME epoch
+        # index (round-1 review: pre/post-increment mismatch was harmless
+        # but made the two streams drift by one epoch)
+        epoch = self.epoch
         self.epoch += 1
+        rng_seed = self.seed * 100003 + epoch
         if self.prefetch <= 0:
-            for b, items in enumerate(self._batches()):
+            for b, items in enumerate(self._batches(epoch)):
                 yield self.dataset.collate_fn(
                     items, rng=np.random.RandomState(rng_seed + b))
             return
@@ -126,7 +130,7 @@ class DataLoader:
         # numpy/h5py release the GIL, so threads scale on the host CPUs
         from concurrent.futures import ThreadPoolExecutor
 
-        batches = list(self._batches())
+        batches = list(self._batches(epoch))
         workers = max(1, self.num_workers)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = []

@@ -75,6 +75,7 @@ class Trainer:
         check_val_every_n_epoch: int = 1,
         limit_train_batches: Optional[int] = None,
         limit_val_batches: Optional[int] = None,
+        limit_test_batches: Optional[int] = None,
         num_sanity_val_steps: int = 0,
         deterministic: bool = False,
         gradient_clip_val: float = 1.0,
@@ -101,6 +102,7 @@ class Trainer:
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
         self.deterministic = deterministic
         self.gradient_clip_val = gradient_clip_val
         self.log_every_n_steps = log_every_n_steps
@@ -248,6 +250,15 @@ class Trainer:
                         pending_losses.clear()
                         self._run_validation(module, datamodule,
                                              val_loss_best, epoch)
+                        # Lightning consults EarlyStopping after EVERY
+                        # validation, incl. mid-epoch val_check_interval
+                        # ones; min_epochs blocks stopping while the
+                        # current epoch index is below it
+                        es = self.callbacks.get("early_stopping")
+                        if (es is not None and epoch >= self.min_epochs
+                                and es.should_stop(self.metrics_history)):
+                            stop = True
+                            break
                 if n_batches == 0:
                     log.warning(
                         "epoch produced ZERO combined batches — check that "
@@ -256,7 +267,8 @@ class Trainer:
                 for _, _, l in pending_losses:
                     train_loss.update(float(l))
                 pending_losses.clear()
-                if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                if (not stop
+                        and (epoch + 1) % self.check_val_every_n_epoch == 0):
                     self._run_validation(module, datamodule, val_loss_best, epoch)
                 es = self.callbacks.get("early_stopping")
                 if (es is not None and epoch + 1 >= self.min_epochs
@@ -297,12 +309,14 @@ class Trainer:
         loss_metric = MeanMetric()
         retrieval: Dict[str, RetrievalMetric] = {}
         n_per_modality: Dict[str, int] = {}
+        limit = (self.limit_val_batches if split == "val"
+                 else self.limit_test_batches)
         for batch in loader:
             modality = batch[2]
             # limit applies per modality (the sequential loader streams one
             # modality at a time; a global cap would starve later ones)
-            if (split == "val" and self.limit_val_batches is not None
-                    and n_per_modality.get(modality, 0) >= self.limit_val_batches):
+            if (limit is not None
+                    and n_per_modality.get(modality, 0) >= limit):
                 continue
             n_per_modality[modality] = n_per_modality.get(modality, 0) + 1
             seq_in, mod_in, modality, _ = batch
