@@ -39,9 +39,14 @@ def enable_compilation_cache(
     # default INSIDE the repo: /tmp does not survive machine restarts,
     # the checkout does — warm starts then skip the multi-minute compile
     # even on a fresh boot (.jit_cache is gitignored)
-    default_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jit_cache")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    default_dir = os.path.join(repo_root, ".jit_cache")
+    if not os.access(repo_root, os.W_OK):
+        # pip-installed into site-packages (not a writable checkout): fall
+        # back to a user cache dir (advisor round-1 finding)
+        default_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "oneprot_jit")
     cache_dir = cache_dir or os.environ.get("ONEPROT_JIT_CACHE", default_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -6,9 +6,11 @@ with a trained model -> R@{1,10,100,500} + median rank for every modality
 pair, both directions (eval.py:158-184) -> fixed-width CSV (eval.py:185-208).
 
 TPU changes: the model restores from an Orbax run dir (resolved_config.yaml +
-checkpoints/); similarity/top-k run on device via the jitted eval steps; the
-reference's sklearn cosine_similarity becomes a normalized matmul (features
-are already L2-normalized up to the logit scale, so cosine == scaled dot).
+checkpoints/) or a reference Lightning .ckpt; EMBEDDING runs on device via
+the jitted eval steps, while similarity + ranking run with host numpy (the
+reference's sklearn cosine_similarity becomes a normalized-feature matmul;
+at the 1k-row eval pools an argsort costs microseconds, so a device top_k
+round-trip would only add dispatch latency).
 """
 
 from __future__ import annotations

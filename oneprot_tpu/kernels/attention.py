@@ -187,8 +187,11 @@ def fused_tied_row(q, k, v, num_heads, col_bias=None, scale=None):
     if not tra.supports(B, R, L, num_heads, hd // num_heads):
         return None
 
+    # non-TPU backends (ONEPROT_USE_PALLAS=1 on a CPU host) need the
+    # interpreter — Mosaic can't compile for CPU (advisor round-1 finding)
     fn = lambda q, k, v, bias: tra.tied_row_attention(
-        q, k, v, num_heads, col_bias=bias, scale=scale)
+        q, k, v, num_heads, col_bias=bias, scale=scale,
+        interpret=not _tpu_available())
 
     if _ACTIVE_MESH is not None:
         from jax import shard_map

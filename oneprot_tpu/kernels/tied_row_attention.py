@@ -176,7 +176,7 @@ def tied_row_attention(
     kv_map = lambda b, h, i, j: (b, 0, j, h)
     bias_map = lambda b, h, i, j: (b, 0, j)
 
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_kernel, scale=scale, rows=R, num_k=num_k),
         grid=(B, H2, L // block, num_k),
         in_specs=[
@@ -200,5 +200,23 @@ def tied_row_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary")),
         interpret=interpret,
-    )(q, k, v, bias_b)
-    return out
+    )
+
+    # Forward-only guard: this kernel has no backward, which is fine for the
+    # always-frozen MSA tower (reference msa_encoder.py:30-32) — but if a
+    # caller ever differentiates through it (tower unfrozen with
+    # ONEPROT_TIED_ROW=1), fail with a clear message instead of an obscure
+    # Pallas autodiff error (advisor round-1 finding).
+    wrapped = jax.custom_vjp(lambda q_, k_, v_, b_: call(q_, k_, v_, b_))
+
+    def _vjp_fwd(q_, k_, v_, b_):
+        return call(q_, k_, v_, b_), None
+
+    def _vjp_bwd(_res, _g):
+        raise NotImplementedError(
+            "tied_row_attention is a forward-only kernel: it requires the "
+            "MSA tower to stay frozen (stop_gradient). Unset "
+            "ONEPROT_TIED_ROW=1 or keep the tower frozen.")
+
+    wrapped.defvjp(_vjp_fwd, _vjp_bwd)
+    return wrapped(q, k, v, bias_b)

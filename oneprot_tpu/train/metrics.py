@@ -9,8 +9,10 @@ sharded arrays whose non-addressable shards can't be materialized locally —
 they are all-gathered across processes before ranking, so every host ranks
 the identical global pool.
 
-The ranking itself runs on device when pools are large (matmul + argsort on
-the MXU); val pools are capped at 1000 (reference dataset __len__ caps).
+Ranking runs with host numpy (similarity matmul + argsort): val/test pools
+are capped at 1000 rows (reference dataset __len__ caps), where a [1k, 1k]
+argsort is microseconds — far below the device-dispatch latency a
+lax.top_k round-trip would add.
 """
 
 from __future__ import annotations

@@ -329,3 +329,31 @@ def test_select_d_pad_head_groups():
     assert select_d_pad(32, 20) == 32   # 150M tower: exact
     assert select_d_pad(64, 12) == 64   # BERT-base
     assert select_d_pad(24, 2) == 64    # 2 heads can't form groups of 4
+
+
+def test_tied_row_attention_backward_raises_clear_error(monkeypatch):
+    """The fused tied-row kernel is forward-only (the MSA tower is always
+    frozen); differentiating through it must fail with a clear message, not
+    an obscure Pallas autodiff error (advisor round-1 finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from oneprot_tpu.kernels.tied_row_attention import (
+        supports,
+        tied_row_attention,
+    )
+
+    B, R, L, H, D = 1, 4, 256, 2, 64
+    if not supports(B, R, L, H, D):
+        _pytest.skip("shape unsupported by the tied-row kernel")
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, R, L, H * D).astype(np.float32))
+
+    def f(q_):
+        out = tied_row_attention(q_, q_, q_, H, interpret=True)
+        return jnp.sum(out)
+
+    with _pytest.raises(NotImplementedError, match="forward-only"):
+        jax.grad(f)(q)
