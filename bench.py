@@ -106,6 +106,78 @@ def baseline_pairs_per_sec(sampled: np.ndarray, batch: int = 16) -> float:
     return total_pairs / secs
 
 
+def kernel_numerics_check(plan) -> None:
+    """Compiled-on-TPU kernel numerics (VERDICT r2 #6).
+
+    The test suite asserts Pallas kernels only in interpret mode on CPU
+    (tests/test_kernels.py); Mosaic-compiled behavior can differ. Before
+    timing, run the fused flash-MHA (fwd + bwd, incl. in-kernel rotary and
+    the small-head padded path) against the XLA reference attention on one
+    real batch per bucket ON THE CHIP and assert numerics; the result is
+    printed so BENCH_r*.json carries the evidence.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from oneprot_tpu.kernels.attention import (
+        _tpu_available,
+        fused_mha,
+        reference_attention,
+    )
+    from oneprot_tpu.models.esm2 import apply_rotary, rotary_cos_sin
+
+    if not _tpu_available():
+        print("# kernel numerics: skipped (no TPU backend)", file=sys.stderr)
+        return
+    rng = np.random.RandomState(3)
+    worst = 0.0
+    for (blen, batch, _steps, _share) in plan:
+        b = min(batch, 8)  # one small real batch per bucket
+        for nh, hd in ((20, 64), (20, 24)):  # hub geometry + padded tower
+            q2 = jnp.asarray(rng.randn(b, blen, nh * hd), jnp.bfloat16)
+            k2 = jnp.asarray(rng.randn(b, blen, nh * hd), jnp.bfloat16)
+            v2 = jnp.asarray(rng.randn(b, blen, nh * hd), jnp.bfloat16)
+            mask = np.ones((b, blen), np.float32)
+            mask[:, int(blen * 0.8):] = 0.0
+            bias = jnp.asarray((1.0 - mask)[:, None, None, :] * -1e9)
+            cos, sin = rotary_cos_sin(blen, hd, dtype=jnp.bfloat16)
+            g = jnp.asarray(rng.randn(b, blen, nh * hd), jnp.bfloat16)
+
+            def fused(q_, k_, v_):
+                out = fused_mha(q_, k_, v_, nh, bias=bias,
+                                rope_cos=cos, rope_sin=sin)
+                assert out is not None, "fused path did not engage on TPU"
+                return (out.astype(jnp.float32) * g.astype(jnp.float32)).sum()
+
+            def ref(q_, k_, v_):
+                def t(x):
+                    return x.reshape(b, blen, nh, hd).transpose(0, 2, 1, 3)
+
+                qh, kh, vh = t(q_), t(k_), t(v_)
+                qh = apply_rotary(qh, cos, sin)
+                kh = apply_rotary(kh, cos, sin)
+                out = reference_attention(qh, kh, vh, bias)
+                out = out.transpose(0, 2, 1, 3).reshape(b, blen, nh * hd)
+                return (out.astype(jnp.float32) * g.astype(jnp.float32)).sum()
+
+            vg_f = jax.jit(jax.value_and_grad(fused, argnums=(0, 1, 2)))
+            vg_r = jax.jit(jax.value_and_grad(ref, argnums=(0, 1, 2)))
+            (out_f, grads_f) = vg_f(q2, k2, v2)
+            (out_r, grads_r) = vg_r(q2, k2, v2)
+            for a, b_ in zip((out_f, *grads_f), (out_r, *grads_r)):
+                a = np.asarray(a, np.float32)
+                b_ = np.asarray(b_, np.float32)
+                denom = max(float(np.abs(b_).max()), 1e-6)
+                err = float(np.abs(a - b_).max()) / denom
+                worst = max(worst, err)
+                assert err < 2e-2, (
+                    f"kernel vs XLA mismatch at L={blen} nh={nh} hd={hd}: "
+                    f"rel err {err:.3e}")
+    print(f"# kernel numerics: PASS (compiled fwd+bwd vs XLA, "
+          f"max rel err {worst:.1e})", file=sys.stderr)
+
+
+
 def main() -> None:
     import jax
 
@@ -179,6 +251,9 @@ def main() -> None:
                   "lengths, bucketed, bf16)")
         print(f"# buckets={BUCKETS} shares={ {k: round(v, 3) for k, v in shares.items()} } "
               f"baseline(dyn-pad A100)={base:.1f} pairs/s", file=sys.stderr)
+
+    if os.environ.get("BENCH_KERNEL_CHECK", "1") == "1":
+        kernel_numerics_check(plan)
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     total_pairs = 0

@@ -94,6 +94,30 @@ def main() -> None:
           f"({pairs/host_time:.1f} pairs/s) shapes={shapes}",
           file=sys.stderr)
 
+    # ---- pod-scale demand model (VERDICT r2 #5) --------------------------
+    # A v5e-8 host must feed 8 chips. Measure the strictly-sequential
+    # per-core collate rate (no threads, no prefetch), then compute how many
+    # host cores the pod needs at 8x the per-chip demand. Collate releases
+    # the GIL in numpy/h5py/the C++ tokenizer, so cores scale ~linearly;
+    # a v5e-8 host exposes ~100+ vCPUs.
+    seq_loader = DataLoader(dataset, batch_size=BATCH, shuffle=True, seed=1,
+                            drop_last=True, prefetch=0, num_workers=1)
+    t0 = time.time()
+    seq_pairs = 0
+    for seq_in, _, _, _ in seq_loader:
+        seq_pairs += seq_in.shape[0]
+    per_core = seq_pairs / (time.time() - t0)
+    # per-chip demand: cached steady-state is the worst case for the host
+    # (BENCH_r* cached ~340 pairs/s/chip; cold ~127)
+    demand_cached = 8 * float(os.environ.get("BENCH_CHIP_CACHED", 340.0))
+    demand_cold = 8 * float(os.environ.get("BENCH_CHIP_COLD", 127.0))
+    cores_cached = demand_cached / per_core
+    cores_cold = demand_cold / per_core
+    print(f"# pod-8 demand model: {per_core:.1f} pairs/s/core sequential -> "
+          f"{cores_cold:.1f} cores (cold) / {cores_cached:.1f} cores "
+          f"(cached steady-state) of a ~100-vCPU v5e-8 host",
+          file=sys.stderr)
+
     # ---- warm up one compile per bucket shape ----------------------------
     t0 = time.time()
     seen = set()
@@ -135,6 +159,9 @@ def main() -> None:
         "input_stall_pct": round(stall * 100, 1),
         "device_only_pairs_per_sec": round(pairs / device_time, 2),
         "host_only_pairs_per_sec": round(pairs / host_time, 2),
+        "host_pairs_per_sec_per_core": round(per_core, 2),
+        "pod8_host_cores_needed_cold": round(cores_cold, 1),
+        "pod8_host_cores_needed_cached": round(cores_cached, 1),
     }))
 
 

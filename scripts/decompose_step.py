@@ -4,9 +4,11 @@ Measures, for each (L, B) bucket with the int8 hub:
   - hub fwd (frozen ESM2-650M backbone_pooled)
   - tower fwd only (struct ESM2-35M full encode)
   - cached train step (tower fwd+bwd + heads + loss + Adam)
-  - cached step minus tower bwd proxy: heads+loss+Adam on fixed pooled feats
+  - heads+loss+Adam alone (both towers' pooled feats precomputed)
 
 Timing per microbench_int8.py rules (scalar-fetch sync, scan w/ fresh data).
+Params flow as jit ARGUMENTS — closing over the 686M tree bakes it into the
+compile request and overflows the tunnel's body limit (HTTP 413).
 
 Run: python scripts/decompose_step.py
 """
@@ -24,12 +26,13 @@ BUCKETS = [(256, 64), (512, 32), (1024, 16)]
 N = 10
 
 
-def timed(fn, *args, n=N):
+def timed(fn, params, *args, n=N):
+    """fn(params, *args) -> pytree; time n scan iterations w/ rolled args."""
+
     @jax.jit
-    def many(a):
+    def many(p, a):
         def body(carry, i):
-            out = fn(*[jnp.roll(x, i, axis=0) if hasattr(x, "shape")
-                       and x.ndim >= 1 else x for x in a])
+            out = fn(p, *[jnp.roll(x, i, axis=0) for x in a])
             leaf = jax.tree.leaves(out)[-1]
             return jnp.maximum(carry, leaf.astype(jnp.float32).max()), None
 
@@ -37,9 +40,9 @@ def timed(fn, *args, n=N):
                               jnp.arange(n, dtype=jnp.int32))
         return tot
 
-    float(many(args))
+    float(many(params, args))
     t0 = time.perf_counter()
-    float(many(args))
+    float(many(params, args))
     return (time.perf_counter() - t0) / n
 
 
@@ -79,41 +82,43 @@ def main():
     state = module.init({"struct_token": (init_ids, init_ids)})
 
     model = module.model
+    cached_fn = module.train_step_cached_fn("struct_token")
+    fully = module.train_step_fully_cached_fn("struct_token")
+
+    def hub(p, ids_):
+        return model.apply({"params": p}, ids_, "sequence",
+                           method=type(model).encode_pooled)
+
+    def tower(p, ids_):
+        return model.apply({"params": p}, ids_, "struct_token")
+
+    def cached_step(st, pooled_x, st_x):
+        _new, loss = cached_fn(st, pooled_x, st_x)
+        return loss
+
+    def heads_step(st, pooled_x, mp):
+        _new, loss = fully(st, pooled_x, mp)
+        return loss
+
+    hub_pool = jax.jit(hub)
+    tower_pool = jax.jit(lambda p, x: model.apply(
+        {"params": p}, x, "struct_token",
+        method=type(model).encode_pooled))
+
     for L, B in BUCKETS:
         seq_ids = jnp.asarray(ids(24, B, L))
         st_ids = jnp.asarray(ids(24, B, L) % 33 + 20)
 
-        hub = lambda ids_: model.apply(
-            {"params": state.params}, ids_, "sequence",
-            method=type(model).encode_pooled)
-        t_hub = timed(hub, seq_ids)
+        t_hub = timed(hub, state.params, seq_ids)
+        t_tower_fwd = timed(tower, state.params, st_ids)
 
-        tower = lambda ids_: model.apply(
-            {"params": state.params}, ids_, "struct_token")
-        t_tower_fwd = timed(tower, st_ids)
-
-        pooled = jax.jit(hub)(seq_ids)
+        pooled = hub_pool(state.params, seq_ids)
         float(pooled[0, 0])
-
-        cached_fn = module.train_step_cached_fn("struct_token")
-
-        def cached_step(pooled_x, st_x):
-            new_state, loss = cached_fn(state, pooled_x, st_x)
-            return loss
-
-        t_cached = timed(cached_step, pooled, st_ids)
-
-        fully = module.train_step_fully_cached_fn("struct_token")
-        mod_pooled = jax.jit(lambda x: model.apply(
-            {"params": state.params}, x, "struct_token",
-            method=type(model).encode_pooled))(st_ids)
+        mod_pooled = tower_pool(state.params, st_ids)
         float(mod_pooled[0, 0])
 
-        def heads_step(pooled_x, mp):
-            new_state, loss = fully(state, pooled_x, mp)
-            return loss
-
-        t_heads = timed(heads_step, pooled, mod_pooled)
+        t_cached = timed(cached_step, state, pooled, st_ids)
+        t_heads = timed(heads_step, state, pooled, mod_pooled)
 
         print(f"L={L} B={B}: hub_fwd={t_hub*1e3:6.1f} ms  "
               f"tower_fwd={t_tower_fwd*1e3:6.1f} ms  "
