@@ -64,6 +64,26 @@ def _block(L: int, default: int) -> int:
     return L
 
 
+def _chunk_count(HG: int, Lq: int, skip: bool) -> int:
+    """Head-group chunks per program (lane width = C*128).
+
+    At short L the per-program attention tiles shrink while the program
+    count grows (grid has a head-group dimension with full-L k/v blocks) —
+    measured on v5e the hub forward was nearly FLAT in L at a fixed token
+    budget (attention ~4x costlier than its FLOP share at L=256). Packing C
+    consecutive head groups into one program restores per-program work at
+    short L. C=1 recovers the old layout; the skip (length-masked) variant
+    keeps C=1 (its 256-wide blocks already bound per-program work).
+    """
+    if skip or HG <= 1:
+        return 1
+    cap = max(1, 2048 // Lq)
+    for c in range(min(cap, HG), 0, -1):
+        if HG % c == 0:
+            return c
+    return 1
+
+
 def supports(B: int, H: int, Lq: int, Lk: int, bias_shape,
              group: int = 2) -> bool:
     if H % group != 0:
@@ -110,7 +130,8 @@ def _head(x, g, d):
 
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
-                o_ref, lse_ref, *, block_k, lk, scale, rotary, skip, d):
+                o_ref, lse_ref, *, block_k, lk, scale, rotary, skip, d,
+                chunks):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
@@ -118,68 +139,76 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
     len_b = lens_ref[pl.program_id(0)]
 
     def compute():
-        q2 = q_ref[0]                                   # [bq, 128]
-        if rotary:
-            slq = pl.ds(i_q * block_q, block_q)
-            q2 = _apply_rot(q2, cos_ref[slq, :], sin_ref[slq, :], d)
-        q2 = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
-        qs = [_head(q2, g, d) for g in range(G)]
-        num_k = lk // block_k
-
-        def block(idx, carry=None):
-            sl = pl.ds(idx * block_k, block_k)
-            k2 = k_ref[0, sl, :]
+        o_parts, lse_parts = [], []
+        for c in range(chunks):
+            lo = c * _BLOCK_LANES
+            q2 = q_ref[0][:, lo:lo + _BLOCK_LANES]      # [bq, 128]
             if rotary:
-                k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
-            bias_blk = bias_ref[0, :, sl]
-            v2 = v_ref[0, sl, :]
-            accs, ms, ls = [], [], []
-            for g in range(G):
-                s = jax.lax.dot_general(
-                    qs[g], _head(k2, g, d), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                s = s + bias_blk
-                m = jnp.max(s, axis=-1, keepdims=True)
-                if carry is None:
-                    p = jnp.exp2(s - m)
-                    l = jnp.sum(p, axis=-1, keepdims=True)
-                    acc = jax.lax.dot_general(
-                        p.astype(in_dtype), _head(v2, g, d),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                else:
-                    acc0, m0, l0 = carry[g], carry[G + g], carry[2 * G + g]
-                    m_n = jnp.maximum(m0, m)
-                    corr = jnp.exp2(m0 - m_n)
-                    p = jnp.exp2(s - m_n)
-                    l = l0 * corr + jnp.sum(p, axis=-1, keepdims=True)
-                    acc = acc0 * corr + jax.lax.dot_general(
-                        p.astype(in_dtype), _head(v2, g, d),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    m = m_n
-                accs.append(acc)
-                ms.append(m)
-                ls.append(l)
-            return tuple(accs) + tuple(ms) + tuple(ls)
+                slq = pl.ds(i_q * block_q, block_q)
+                q2 = _apply_rot(q2, cos_ref[slq, :], sin_ref[slq, :], d)
+            q2 = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
+            qs = [_head(q2, g, d) for g in range(G)]
+            num_k = lk // block_k
 
-        carry = block(0)
-        if skip:
-            n_k = _num_k(len_b, block_k, lk)
-            for idx in range(1, num_k):
-                carry = jax.lax.cond(
-                    idx < n_k, lambda c: block(idx, c), lambda c: c, carry)
-        else:
-            for idx in range(1, num_k):
-                carry = block(idx, carry)
+            def block(idx, carry=None):
+                sl = pl.ds(idx * block_k, block_k)
+                k2 = k_ref[0, sl, lo:lo + _BLOCK_LANES]
+                if rotary:
+                    k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
+                bias_blk = bias_ref[0, :, sl]
+                v2 = v_ref[0, sl, lo:lo + _BLOCK_LANES]
+                accs, ms, ls = [], [], []
+                for g in range(G):
+                    s = jax.lax.dot_general(
+                        qs[g], _head(k2, g, d), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + bias_blk
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    if carry is None:
+                        p = jnp.exp2(s - m)
+                        l = jnp.sum(p, axis=-1, keepdims=True)
+                        acc = jax.lax.dot_general(
+                            p.astype(in_dtype), _head(v2, g, d),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    else:
+                        acc0, m0, l0 = (carry[g], carry[G + g],
+                                        carry[2 * G + g])
+                        m_n = jnp.maximum(m0, m)
+                        corr = jnp.exp2(m0 - m_n)
+                        p = jnp.exp2(s - m_n)
+                        l = l0 * corr + jnp.sum(p, axis=-1, keepdims=True)
+                        acc = acc0 * corr + jax.lax.dot_general(
+                            p.astype(in_dtype), _head(v2, g, d),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        m = m_n
+                    accs.append(acc)
+                    ms.append(m)
+                    ls.append(l)
+                return tuple(accs) + tuple(ms) + tuple(ls)
 
-        accs, ms, ls = carry[:G], carry[G:2 * G], carry[2 * G:]
-        ls = [jnp.maximum(l, 1e-30) for l in ls]
-        o_ref[0] = jnp.concatenate(
-            [accs[g] / ls[g] for g in range(G)], axis=-1).astype(o_ref.dtype)
-        lse_ref[0] = jnp.concatenate(
-            [jnp.broadcast_to(ms[g] + jnp.log2(ls[g]), (block_q, _HEAD_LSE))
-             for g in range(G)], axis=-1).astype(jnp.float32)
+            carry = block(0)
+            if skip:
+                n_k = _num_k(len_b, block_k, lk)
+                for idx in range(1, num_k):
+                    carry = jax.lax.cond(
+                        idx < n_k, lambda cr: block(idx, cr),
+                        lambda cr: cr, carry)
+            else:
+                for idx in range(1, num_k):
+                    carry = block(idx, carry)
+
+            accs, ms, ls = carry[:G], carry[G:2 * G], carry[2 * G:]
+            ls = [jnp.maximum(l, 1e-30) for l in ls]
+            o_parts.append(jnp.concatenate(
+                [accs[g] / ls[g] for g in range(G)], axis=-1))
+            lse_parts.append(jnp.concatenate(
+                [jnp.broadcast_to(ms[g] + jnp.log2(ls[g]),
+                                  (block_q, _HEAD_LSE))
+                 for g in range(G)], axis=-1))
+        o_ref[0] = jnp.concatenate(o_parts, axis=-1).astype(o_ref.dtype)
+        lse_ref[0] = jnp.concatenate(lse_parts, axis=-1).astype(jnp.float32)
 
     if skip:
         active = i_q * block_q < len_b
@@ -205,7 +234,10 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
     Lk = k.shape[1]
     G = _BLOCK_LANES // d
     HG = hd // _BLOCK_LANES      # head groups
-    lse_lanes = G * _HEAD_LSE
+    C = _chunk_count(HG, Lq, skip)
+    HGC = HG // C                # chunked head-group grid dimension
+    lanes = C * _BLOCK_LANES
+    lse_lanes = C * G * _HEAD_LSE
     # VMEM budget: each head keeps an f32 [block_q, block_k] score block
     # alive, so G=4 halves the block size to stay inside scoped vmem
     dflt_q = DEFAULT_BLOCK_Q // (G // 2)
@@ -220,33 +252,33 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, HG, Lq // block_q),
+        grid=(B, HGC, Lq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+            pl.BlockSpec((1, block_q, lanes), q_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_map,
+            pl.BlockSpec((1, Lk, lanes), kv_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_map,
+            pl.BlockSpec((1, Lk, lanes), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Lk), bias_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+            pl.BlockSpec((1, block_q, lanes), q_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, lse_lanes),
-                         lambda b, h, i, lref: (b * HG + h, i, 0),
+                         lambda b, h, i, lref: (b * HGC + h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, lk=Lk, scale=scale,
-                          rotary=rotary, skip=skip, d=d),
+                          rotary=rotary, skip=skip, d=d, chunks=C),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),
-            jax.ShapeDtypeStruct((B * HG, Lq, lse_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((B * HGC, Lq, lse_lanes), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -262,68 +294,77 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
 
 def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                    do_ref, lse_ref, delta_ref, dq_ref,
-                   *, block_k, lk, scale, rotary, skip, d):
+                   *, block_k, lk, scale, rotary, skip, d, chunks):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
     i_q = pl.program_id(2)
     len_b = lens_ref[pl.program_id(0)]
+    lse8 = G * _HEAD_LSE
 
     def compute():
-        q2 = q_ref[0]
-        if rotary:
-            slq = pl.ds(i_q * block_q, block_q)
-            cos_q, sin_q = cos_ref[slq, :], sin_ref[slq, :]
-            q2r = _apply_rot(q2, cos_q, sin_q, d)
-        else:
-            cos_q = sin_q = None
-            q2r = q2
-        qf = q2r * jnp.asarray(scale * _LOG2E, in_dtype)
-        do2 = do_ref[0]
-        lse2 = lse_ref[0]                                # [bq, 8G]
-        delta2 = delta_ref[0]
-        num_k = lk // block_k
-
-        def block(idx, carry):
-            dqs = list(carry)
-            sl = pl.ds(idx * block_k, block_k)
-            k2 = k_ref[0, sl, :]
+        dq_parts = []
+        for c in range(chunks):
+            lo = c * _BLOCK_LANES
+            q2 = q_ref[0][:, lo:lo + _BLOCK_LANES]
             if rotary:
-                k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
-            v2 = v_ref[0, sl, :]
-            bias_blk = bias_ref[0, :, sl]
-            for g in range(G):
-                qh, doh = _head(qf, g, d), _head(do2, g, d)
-                kh, vh = _head(k2, g, d), _head(v2, g, d)
-                lseh = lse2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
-                dlh = delta2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
-                s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jnp.exp2(s + bias_blk - lseh)
-                dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                ds = (p * (dp - dlh)).astype(in_dtype)
-                dqs[g] = dqs[g] + jax.lax.dot_general(
-                    ds, kh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            return tuple(dqs)
+                slq = pl.ds(i_q * block_q, block_q)
+                cos_q, sin_q = cos_ref[slq, :], sin_ref[slq, :]
+                q2r = _apply_rot(q2, cos_q, sin_q, d)
+            else:
+                cos_q = sin_q = None
+                q2r = q2
+            qf = q2r * jnp.asarray(scale * _LOG2E, in_dtype)
+            do2 = do_ref[0][:, lo:lo + _BLOCK_LANES]
+            lse2 = lse_ref[0][:, c * lse8:(c + 1) * lse8]   # [bq, 8G]
+            delta2 = delta_ref[0][:, c * lse8:(c + 1) * lse8]
+            num_k = lk // block_k
 
-        carry = tuple(jnp.zeros((block_q, d), jnp.float32) for _ in range(G))
-        if skip:
-            n_k = _num_k(len_b, block_k, lk)
-            carry = block(0, carry)
-            for idx in range(1, num_k):
-                carry = jax.lax.cond(
-                    idx < n_k, lambda c: block(idx, c), lambda c: c, carry)
-        else:
-            for idx in range(num_k):
-                carry = block(idx, carry)
+            def block(idx, carry):
+                dqs = list(carry)
+                sl = pl.ds(idx * block_k, block_k)
+                k2 = k_ref[0, sl, lo:lo + _BLOCK_LANES]
+                if rotary:
+                    k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
+                v2 = v_ref[0, sl, lo:lo + _BLOCK_LANES]
+                bias_blk = bias_ref[0, :, sl]
+                for g in range(G):
+                    qh, doh = _head(qf, g, d), _head(do2, g, d)
+                    kh, vh = _head(k2, g, d), _head(v2, g, d)
+                    lseh = lse2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
+                    dlh = delta2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
+                    s = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    p = jnp.exp2(s + bias_blk - lseh)
+                    dp = jax.lax.dot_general(
+                        doh, vh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ds = (p * (dp - dlh)).astype(in_dtype)
+                    dqs[g] = dqs[g] + jax.lax.dot_general(
+                        ds, kh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return tuple(dqs)
 
-        dq2 = jnp.concatenate(list(carry), axis=-1) * scale
-        if rotary:
-            dq2 = _apply_rot_t(dq2, cos_q.astype(jnp.float32),
-                               sin_q.astype(jnp.float32), d)
-        dq_ref[0] = dq2.astype(dq_ref.dtype)
+            carry = tuple(jnp.zeros((block_q, d), jnp.float32)
+                          for _ in range(G))
+            if skip:
+                n_k = _num_k(len_b, block_k, lk)
+                carry = block(0, carry)
+                for idx in range(1, num_k):
+                    carry = jax.lax.cond(
+                        idx < n_k, lambda cr: block(idx, cr),
+                        lambda cr: cr, carry)
+            else:
+                for idx in range(num_k):
+                    carry = block(idx, carry)
+
+            dq2 = jnp.concatenate(list(carry), axis=-1) * scale
+            if rotary:
+                dq2 = _apply_rot_t(dq2, cos_q.astype(jnp.float32),
+                                   sin_q.astype(jnp.float32), d)
+            dq_parts.append(dq2)
+        dq_ref[0] = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
 
     if skip:
         active = i_q * block_q < len_b
@@ -341,79 +382,87 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
 
 def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
                     sin_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                    *, block_q, lq, scale, rotary, skip, d):
+                    *, block_q, lq, scale, rotary, skip, d, chunks):
     in_dtype = k_ref.dtype
     G = _BLOCK_LANES // d
     j = pl.program_id(2)
     block_k = k_ref.shape[1]
     len_b = lens_ref[pl.program_id(0)]
+    lse8 = G * _HEAD_LSE
 
     def compute():
-        k2 = k_ref[0]                                    # [bk, 128]
-        if rotary:
-            slk = pl.ds(j * block_k, block_k)
-            cos_k, sin_k = cos_ref[slk, :], sin_ref[slk, :]
-            k2r = _apply_rot(k2, cos_k, sin_k, d)
-        else:
-            cos_k = sin_k = None
-            k2r = k2
-        v2 = v_ref[0]
-        bias_blk = bias_ref[0]                           # [1, bk]
-        num_q = lq // block_q
-
-        def block(idx, carry):
-            dks = list(carry[:G])
-            dvs = list(carry[G:])
-            sl = pl.ds(idx * block_q, block_q)
-            q2 = q_ref[0, sl, :]
+        dk_parts, dv_parts = [], []
+        for c in range(chunks):
+            lo = c * _BLOCK_LANES
+            k2 = k_ref[0][:, lo:lo + _BLOCK_LANES]       # [bk, 128]
             if rotary:
-                q2 = _apply_rot(q2, cos_ref[sl, :], sin_ref[sl, :], d)
-            qf = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
-            do2 = do_ref[0, sl, :]
-            lse2 = lse_ref[0, sl, :]
-            delta2 = delta_ref[0, sl, :]
-            for g in range(G):
-                qh, doh = _head(qf, g, d), _head(do2, g, d)
-                kh, vh = _head(k2r, g, d), _head(v2, g, d)
-                lseh = lse2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
-                dlh = delta2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
-                s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jnp.exp2(s + bias_blk - lseh)        # [bq, bk]
-                p_lo = p.astype(in_dtype)
-                dvs[g] = dvs[g] + jax.lax.dot_general(
-                    p_lo, doh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                ds = (p * (dp - dlh)).astype(in_dtype)
-                dks[g] = dks[g] + jax.lax.dot_general(
-                    ds, qh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            return tuple(dks) + tuple(dvs)
+                slk = pl.ds(j * block_k, block_k)
+                cos_k, sin_k = cos_ref[slk, :], sin_ref[slk, :]
+                k2r = _apply_rot(k2, cos_k, sin_k, d)
+            else:
+                cos_k = sin_k = None
+                k2r = k2
+            v2 = v_ref[0][:, lo:lo + _BLOCK_LANES]
+            bias_blk = bias_ref[0]                       # [1, bk]
+            num_q = lq // block_q
 
-        carry = tuple(jnp.zeros((block_k, d), jnp.float32)
-                      for _ in range(2 * G))
-        if skip:
-            # only q blocks within the true length contribute (pad q rows
-            # have do == 0 exactly)
-            n_q = _num_k(len_b, block_q, lq)
-            carry = block(0, carry)
-            for idx in range(1, num_q):
-                carry = jax.lax.cond(
-                    idx < n_q, lambda c: block(idx, c), lambda c: c, carry)
-        else:
-            for idx in range(num_q):
-                carry = block(idx, carry)
+            def block(idx, carry):
+                dks = list(carry[:G])
+                dvs = list(carry[G:])
+                sl = pl.ds(idx * block_q, block_q)
+                q2 = q_ref[0, sl, lo:lo + _BLOCK_LANES]
+                if rotary:
+                    q2 = _apply_rot(q2, cos_ref[sl, :], sin_ref[sl, :], d)
+                qf = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
+                do2 = do_ref[0, sl, lo:lo + _BLOCK_LANES]
+                lse2 = lse_ref[0, sl, c * lse8:(c + 1) * lse8]
+                delta2 = delta_ref[0, sl, c * lse8:(c + 1) * lse8]
+                for g in range(G):
+                    qh, doh = _head(qf, g, d), _head(do2, g, d)
+                    kh, vh = _head(k2r, g, d), _head(v2, g, d)
+                    lseh = lse2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
+                    dlh = delta2[:, g * _HEAD_LSE:g * _HEAD_LSE + 1]
+                    s = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    p = jnp.exp2(s + bias_blk - lseh)    # [bq, bk]
+                    p_lo = p.astype(in_dtype)
+                    dvs[g] = dvs[g] + jax.lax.dot_general(
+                        p_lo, doh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dp = jax.lax.dot_general(
+                        doh, vh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ds = (p * (dp - dlh)).astype(in_dtype)
+                    dks[g] = dks[g] + jax.lax.dot_general(
+                        ds, qh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return tuple(dks) + tuple(dvs)
 
-        # qf carries scale*log2e; dk needs only scale -> multiply by ln2
-        dk2 = jnp.concatenate(list(carry[:G]), axis=-1) * _LN2
-        if rotary:
-            dk2 = _apply_rot_t(dk2, cos_k.astype(jnp.float32),
-                               sin_k.astype(jnp.float32), d)
-        dk_ref[0] = dk2.astype(dk_ref.dtype)
-        dv_ref[0] = jnp.concatenate(list(carry[G:]),
-                                    axis=-1).astype(dv_ref.dtype)
+            carry = tuple(jnp.zeros((block_k, d), jnp.float32)
+                          for _ in range(2 * G))
+            if skip:
+                # only q blocks within the true length contribute (pad q
+                # rows have do == 0 exactly)
+                n_q = _num_k(len_b, block_q, lq)
+                carry = block(0, carry)
+                for idx in range(1, num_q):
+                    carry = jax.lax.cond(
+                        idx < n_q, lambda cr: block(idx, cr),
+                        lambda cr: cr, carry)
+            else:
+                for idx in range(num_q):
+                    carry = block(idx, carry)
+
+            # qf carries scale*log2e; dk needs only scale -> multiply by ln2
+            dk2 = jnp.concatenate(list(carry[:G]), axis=-1) * _LN2
+            if rotary:
+                dk2 = _apply_rot_t(dk2, cos_k.astype(jnp.float32),
+                                   sin_k.astype(jnp.float32), d)
+            dk_parts.append(dk2)
+            dv_parts.append(jnp.concatenate(list(carry[G:]), axis=-1))
+        dk_ref[0] = jnp.concatenate(dk_parts, axis=-1).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate(dv_parts, axis=-1).astype(dv_ref.dtype)
 
     if skip:
         # key blocks past the length receive no probability mass -> zero
@@ -438,51 +487,55 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
     Lk = k.shape[1]
     G = _BLOCK_LANES // d
     HG = hd // _BLOCK_LANES
-    lse_lanes = G * _HEAD_LSE
+    C = _chunk_count(HG, Lq, skip)   # must match _fwd (lse layout)
+    HGC = HG // C
+    lanes = C * _BLOCK_LANES
+    lse_lanes = C * G * _HEAD_LSE
     bwd_dflt = 512 // (G // 2)
     block_q = _block(Lq, SKIP_BLOCK if skip else bwd_dflt)
     block_k = _block(Lk, SKIP_BLOCK if skip else bwd_dflt)
 
     # delta[b, l, head] = sum_d(dout * out) per head, laid out like lse:
-    # [B*HG, L, 8G] with lanes [8g:8g+8] = head g of the group
+    # [B*HGC, L, C*8G] with lanes [(c*G+g)*8 : +8] = head g of chunk c
     go = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
-        B, Lq, HG, G, d).sum(-1)                         # [B, Lq, HG, G]
-    delta = jnp.repeat(go, _HEAD_LSE, axis=-1)           # [B, Lq, HG, 8G]
-    delta = delta.transpose(0, 2, 1, 3).reshape(B * HG, Lq, lse_lanes)
+        B, Lq, HGC, C * G, d).sum(-1)                    # [B, Lq, HGC, C*G]
+    delta = jnp.repeat(go, _HEAD_LSE, axis=-1)           # [B, Lq, HGC, C*8G]
+    delta = delta.transpose(0, 2, 1, 3).reshape(B * HGC, Lq, lse_lanes)
 
     q_map = lambda b, h, i, lref: (b, i, h)
     kv_full = lambda b, h, i, lref: (b, 0, h)
     bias_full = lambda b, h, i, lref: (b, 0, 0)
     cs_map = lambda b, h, i, lref: (0, 0)
-    lse_q = lambda b, h, i, lref: (b * HG + h, i, 0)
-    lse_full = lambda b, h, i, lref: (b * HG + h, 0, 0)
+    lse_q = lambda b, h, i, lref: (b * HGC + h, i, 0)
+    lse_full = lambda b, h, i, lref: (b * HGC + h, 0, 0)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, lk=Lk,
-                          scale=scale, rotary=rotary, skip=skip, d=d),
+                          scale=scale, rotary=rotary, skip=skip, d=d,
+                          chunks=C),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, HG, Lq // block_q),
+            grid=(B, HGC, Lq // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+                pl.BlockSpec((1, block_q, lanes), q_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_full,
+                pl.BlockSpec((1, Lk, lanes), kv_full,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lk, _BLOCK_LANES), kv_full,
+                pl.BlockSpec((1, Lk, lanes), kv_full,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, Lk), bias_full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+                pl.BlockSpec((1, block_q, lanes), q_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, lse_lanes), lse_q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, lse_lanes), lse_q,
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, _BLOCK_LANES), q_map,
+            out_specs=pl.BlockSpec((1, block_q, lanes), q_map,
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),
@@ -494,16 +547,17 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
     k_map = lambda b, h, j, lref: (b, j, h)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, lq=Lq,
-                          scale=scale, rotary=rotary, skip=skip, d=d),
+                          scale=scale, rotary=rotary, skip=skip, d=d,
+                          chunks=C),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, HG, Lk // block_k),
+            grid=(B, HGC, Lk // block_k),
             in_specs=[
-                pl.BlockSpec((1, Lq, _BLOCK_LANES), kv_full,
+                pl.BlockSpec((1, Lq, lanes), kv_full,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
+                pl.BlockSpec((1, block_k, lanes), k_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
+                pl.BlockSpec((1, block_k, lanes), k_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_k),
                              lambda b, h, j, lref: (b, 0, j),
@@ -512,7 +566,7 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lq, _BLOCK_LANES), kv_full,
+                pl.BlockSpec((1, Lq, lanes), kv_full,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Lq, lse_lanes), lse_full,
                              memory_space=pltpu.VMEM),
@@ -520,9 +574,9 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
+                pl.BlockSpec((1, block_k, lanes), k_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, _BLOCK_LANES), k_map,
+                pl.BlockSpec((1, block_k, lanes), k_map,
                              memory_space=pltpu.VMEM),
             ],
         ),

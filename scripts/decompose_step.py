@@ -83,7 +83,6 @@ def main():
 
     model = module.model
     cached_fn = module.train_step_cached_fn("struct_token")
-    fully = module.train_step_fully_cached_fn("struct_token")
 
     def hub(p, ids_):
         return model.apply({"params": p}, ids_, "sequence",
@@ -92,18 +91,33 @@ def main():
     def tower(p, ids_):
         return model.apply({"params": p}, ids_, "struct_token")
 
-    def cached_step(st, pooled_x, st_x):
-        _new, loss = cached_fn(st, pooled_x, st_x)
-        return loss
+    def timed_cached(st0, pooled_x, st_x, n=N):
+        """Chain the TrainState through the scan (like bench.py) so the
+        backward pass + Adam update cannot be dead-code-eliminated."""
 
-    def heads_step(st, pooled_x, mp):
-        _new, loss = fully(st, pooled_x, mp)
-        return loss
+        @jax.jit
+        def many(st, px, sx):
+            def body(s, i):
+                s2, loss = cached_fn(s, jnp.roll(px, i, axis=0),
+                                     jnp.roll(sx, i, axis=0))
+                return s2, loss
+
+            s2, losses = jax.lax.scan(body, st,
+                                      jnp.arange(n, dtype=jnp.int32))
+            return losses[-1]
+
+        float(many(st0, pooled_x, st_x))
+        t0 = time.perf_counter()
+        float(many(st0, pooled_x, st_x))
+        return (time.perf_counter() - t0) / n
+
+    def fwd_loss(p, pooled_x, st_x):
+        seq_f = model.apply({"params": p}, pooled_x, "sequence",
+                            method=type(model).head_from_pooled)
+        mod_f = model.apply({"params": p}, st_x, "struct_token")
+        return module._loss_value(mod_f, seq_f)
 
     hub_pool = jax.jit(hub)
-    tower_pool = jax.jit(lambda p, x: model.apply(
-        {"params": p}, x, "struct_token",
-        method=type(model).encode_pooled))
 
     for L, B in BUCKETS:
         seq_ids = jnp.asarray(ids(24, B, L))
@@ -114,17 +128,15 @@ def main():
 
         pooled = hub_pool(state.params, seq_ids)
         float(pooled[0, 0])
-        mod_pooled = tower_pool(state.params, st_ids)
-        float(mod_pooled[0, 0])
 
-        t_cached = timed(cached_step, state, pooled, st_ids)
-        t_heads = timed(heads_step, state, pooled, mod_pooled)
+        t_cached = timed_cached(state, pooled, st_ids)
+        t_fwd_loss = timed(fwd_loss, state.params, pooled, st_ids)
 
         print(f"L={L} B={B}: hub_fwd={t_hub*1e3:6.1f} ms  "
               f"tower_fwd={t_tower_fwd*1e3:6.1f} ms  "
               f"cached_step={t_cached*1e3:6.1f} ms  "
-              f"heads+loss+adam={t_heads*1e3:6.1f} ms  "
-              f"[tower fwd+bwd ~= {(t_cached-t_heads)*1e3:6.1f} ms]",
+              f"fwd+loss={t_fwd_loss*1e3:6.1f} ms  "
+              f"[bwd+adam ~= {(t_cached-t_fwd_loss)*1e3:6.1f} ms]",
               flush=True)
 
 
