@@ -75,6 +75,15 @@ def dot_product_attention(
             use_pallas = True
         else:
             use_pallas = _tpu_available()
+    # Small-head towers at short L: the d<64 padded kernel runs its dots at
+    # <=25% MXU utilization and measured SLOWER than XLA's materialized
+    # attention for fwd+bwd (scripts/microbench_attn.py: 3.48 vs 2.51
+    # ms/layer at L=256, tower geometry). Opt-in dispatch to XLA below the
+    # length threshold; memory cost is the [B,H,L,L] residuals, affordable
+    # at short L.
+    _maxl = int(os.environ.get("ONEPROT_ATTN_XLA_SMALLHEAD_MAXL", "0"))
+    if _maxl and q.shape[-1] < 64 and q.shape[2] <= _maxl:
+        use_pallas = False
     if use_pallas:
         from oneprot_tpu.kernels.flash_attention import flash_attention, supports
 
@@ -123,6 +132,10 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
     B, L, hd = q.shape
     D = hd // num_heads
     if D > flash_mha.D_PAD or hd % num_heads:
+        return None
+    # see dot_product_attention: small-head short-L dispatch to XLA
+    _maxl = int(os.environ.get("ONEPROT_ATTN_XLA_SMALLHEAD_MAXL", "0"))
+    if _maxl and D < 64 and L <= _maxl:
         return None
     d_pad = flash_mha.select_d_pad(D, num_heads)
     group = (2 * flash_mha.D_PAD) // d_pad

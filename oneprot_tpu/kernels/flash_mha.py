@@ -58,7 +58,8 @@ SKIP_BLOCK = 256           # block size when length-skipping is active
 
 
 def _block(L: int, default: int) -> int:
-    for b in (default, 512, 256, 128):
+    # 384/768 serve the finer length buckets (L must divide into blocks)
+    for b in (default, 768, 512, 384, 256, 128):
         if L % b == 0 and b <= L:
             return b
     return L
@@ -77,7 +78,22 @@ def _chunk_count(HG: int, Lq: int, skip: bool) -> int:
     """
     if skip or HG <= 1:
         return 1
-    cap = max(1, 2048 // Lq)
+    import os
+
+    env = os.environ.get("ONEPROT_MHA_CHUNKS")
+    if env:
+        # experimentation override: "L:C,L:C,..."
+        for part in env.split(","):
+            l_s, c_s = part.split(":")
+            if int(l_s) == Lq and HG % int(c_s) == 0:
+                return int(c_s)
+        return 1
+    # Measured on v5e (scripts/microbench_attn.py, hub geometry): C=2 at
+    # L=512 is ~12% faster fwd (2.85 -> 2.52 ms/layer); C=5 at L=256 is
+    # slightly SLOWER (2.54 -> 2.72 — the short-L bottleneck is small-dot
+    # issue latency, which packing more groups per program does not fix);
+    # C=2 at L=1024 overflows VMEM at compile. Default: chunk only L=512.
+    cap = 2 if Lq == 512 else 1
     for c in range(min(cap, HG), 0, -1):
         if HG % c == 0:
             return c

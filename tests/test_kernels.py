@@ -370,36 +370,43 @@ def test_mha_attention_chunked_groups_match_reference():
     from oneprot_tpu.kernels.flash_mha import _chunk_count, mha_attention
     from oneprot_tpu.models.esm2 import rotary_cos_sin
 
+    import os
+
     nh, d = 20, 64
-    assert _chunk_count(nh * d // 128, 256, False) == 5
-    rng = np.random.RandomState(2)
-    B, L = 2, 256
-    hd = nh * d
-    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
-    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
-    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
-    bias = np.zeros((B, 1, 1, L), np.float32)
-    bias[:, :, :, 200:] = -1e9
-    bias = jnp.asarray(bias)
-    cos, sin = rotary_cos_sin(L, d, jnp.float32)
+    os.environ["ONEPROT_MHA_CHUNKS"] = "256:5"
+    try:
+        assert _chunk_count(nh * d // 128, 256, False) == 5
+        rng = np.random.RandomState(2)
+        B, L = 2, 256
+        hd = nh * d
+        q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+        k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+        v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+        bias = np.zeros((B, 1, 1, L), np.float32)
+        bias[:, :, :, 200:] = -1e9
+        bias = jnp.asarray(bias)
+        cos, sin = rotary_cos_sin(L, d, jnp.float32)
 
-    out = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos, rope_sin=sin,
-                        interpret=True)
-    ref = _mha_reference(q, k, v, nh, bias, cos, sin)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+        out = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos, rope_sin=sin,
+                            interpret=True)
+        ref = _mha_reference(q, k, v, nh, bias, cos, sin)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
 
-    def loss_fused(q, k, v):
-        o = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos,
-                          rope_sin=sin, interpret=True)
-        return jnp.sum(jnp.sin(o))
+        def loss_fused(q, k, v):
+            o = mha_attention(q, k, v, nh, bias=bias, rope_cos=cos,
+                              rope_sin=sin, interpret=True)
+            return jnp.sum(jnp.sin(o))
 
-    def loss_ref(q, k, v):
-        return jnp.sum(jnp.sin(_mha_reference(q, k, v, nh, bias, cos, sin)))
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(_mha_reference(q, k, v, nh, bias, cos, sin)))
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b, name in zip(g_fused, g_ref, "qkv"):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4,
-                                   err_msg=f"d{name} mismatch")
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4,
+                                       err_msg=f"d{name} mismatch")
+
+    finally:
+        del os.environ["ONEPROT_MHA_CHUNKS"]
