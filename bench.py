@@ -59,9 +59,14 @@ BATCH = int(os.environ.get("BENCH_BATCH", 16))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 HUB = os.environ.get("BENCH_HUB", "facebook/esm2_t33_650M_UR50D")
 TOWER = os.environ.get("BENCH_TOWER", "facebook/esm2_t12_35M_UR50D")
+# {256,384,512,768,1024} measured 4.13x vs 3.48x for {256,512,1024} on the
+# SwissProt-like length mix: the 257-384 and 513-768 slices stop padding 33%
 BUCKETS = tuple(int(x) for x in
-                os.environ.get("BENCH_BUCKETS", "256,512,1024").split(","))
-QUANT = os.environ.get("BENCH_QUANT", "none")  # "int8" quantizes the frozen hub
+                os.environ.get("BENCH_BUCKETS",
+                               "256,384,512,768,1024").split(","))
+# int8 frozen-hub GEMMs are the production default (1.21x hub fwd; cosine
+# vs bf16 > 0.995, R@1 preserved — tests/test_models.py)
+QUANT = os.environ.get("BENCH_QUANT", "int8")  # "none" disables
 CACHE_DIR = os.environ.get("ONEPROT_JIT_CACHE")  # default: repo-local .jit_cache
 
 

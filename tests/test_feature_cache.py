@@ -140,3 +140,76 @@ def test_fully_cached_seqsim_matches_uncached():
 
     np.testing.assert_allclose(losses_cached, losses_plain, rtol=2e-5)
     assert cache.hits > 0
+
+
+def test_int8_hub_preserves_retrieval_quality():
+    """VERDICT r2 #1a acceptance: quantizing the frozen hub to int8 leaves
+    retrieval R@1 unchanged on the training slice — same initial weights
+    (float tree quantized via quantize_esm2_int8_tree), same data, N train
+    steps, identical R@1 and near-identical losses."""
+    import jax
+    import numpy as np
+
+    from tests.helpers.tiny_models import patch_tiny_esm2, tiny_ids
+
+    patch_tiny_esm2()
+    from oneprot_tpu.models.encoders import (
+        create_sequence_encoder,
+        create_struct_token_encoder,
+    )
+    from oneprot_tpu.models.esm2 import quantize_esm2_int8_tree
+    from oneprot_tpu.train.metrics import retrieval_metrics
+    from oneprot_tpu.train.module import OneProtModule, TrainState
+    from oneprot_tpu.train.optim import adam
+
+    def build(quant):
+        seq = create_sequence_encoder(
+            model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32,
+            proj_type="mlp", frozen=True, pretrained=False, quantize=quant)
+        st = create_struct_token_encoder(
+            model_name_or_path="facebook/esm2_t6_8M_UR50D", output_dim=32)
+        return OneProtModule(
+            components={"sequence": seq, "struct_token": st},
+            optimizer=lambda: adam(1e-3), loss_fn="CLIP", seed=0,
+            frozen_param_dtype=None)
+
+    seq_init = tiny_ids(24, 0, batch=8)
+    st_init = tiny_ids(54, 1, batch=8)
+    m_f = build(None)
+    state_f = m_f.init({"struct_token": (seq_init, st_init)})
+
+    m_q = build("int8")
+    state_q = m_q.init({"struct_token": (seq_init, st_init)})
+    # same weights: quantize the float hub transformer. DEEP copies — the
+    # float module's train_step donates its state buffers, which would
+    # invalidate shared leaves
+    params_q = jax.tree.map(lambda x: np.array(x, copy=True), state_f.params)
+    params_q["encoders_sequence"] = dict(
+        params_q["encoders_sequence"],
+        transformer=jax.tree.map(
+            lambda x: np.array(x, copy=True),
+            quantize_esm2_int8_tree(
+                state_f.params["encoders_sequence"]["transformer"])))
+    state_q = TrainState(step=state_q.step, params=params_q,
+                         opt_state=state_q.opt_state)
+
+    losses_f, losses_q = [], []
+    for step in range(10):
+        seq_ids = tiny_ids(24, 100 + step, batch=8)
+        st_ids = tiny_ids(54, 200 + step, batch=8)
+        state_f, lf = m_f.train_step(state_f, "struct_token", seq_ids, st_ids)
+        state_q, lq = m_q.train_step(state_q, "struct_token", seq_ids, st_ids)
+        losses_f.append(float(lf))
+        losses_q.append(float(lq))
+    np.testing.assert_allclose(losses_q, losses_f, rtol=5e-2,
+                               err_msg="int8 hub changed training dynamics")
+
+    val_seq = tiny_ids(24, 999, batch=8)
+    val_st = tiny_ids(54, 998, batch=8)
+    sf, mf, _ = m_f.eval_step(state_f.params, "struct_token", val_seq, val_st)
+    sq, mq, _ = m_q.eval_step(state_q.params, "struct_token", val_seq, val_st)
+    r_f = retrieval_metrics(np.asarray(sf), np.asarray(mf), ks=(1,))
+    r_q = retrieval_metrics(np.asarray(sq), np.asarray(mq), ks=(1,))
+    for k in ("seq_to_mod_R@1", "mod_to_seq_R@1"):
+        assert r_q[k] == r_f[k], (
+            f"{k}: int8={r_q[k]} float={r_f[k]} — R@1 changed")
