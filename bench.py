@@ -200,6 +200,107 @@ def kernel_numerics_check(plan) -> None:
 
 
 
+def run_packed(module, state, n_chips: int) -> None:
+    """BENCH_MODE=packed: sequence packing — multiple proteins per L=1024
+    row with in-kernel segment masking (data/packing.py). Fill rises from
+    the bucketed ~78% to ~97%, so more real pairs train per step at the
+    same step cost. Same baseline as the bucketed mode (identical length
+    distribution, reference dynamic padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oneprot_tpu.data.packing import pack_token_rows
+
+    ROW_L = int(os.environ.get("BENCH_PACK_ROW", 1024))
+    P_SLOTS = int(os.environ.get("BENCH_PACK_SLOTS", 16))
+    R = max(TOKENS // ROW_L, 1) * max(n_chips, 1)
+    steps = STEPS
+
+    sampled = sample_lengths(8192)
+    base = baseline_pairs_per_sec(sampled)
+
+    rng = np.random.RandomState(9)
+    # draw enough proteins to fill steps*R rows at ~97% fill
+    need_tokens = int(steps * R * ROW_L * 1.05)
+    pool_lens = []
+    tot = 0
+    i = 0
+    big = sample_lengths(262144, seed=42)
+    while tot < need_tokens:
+        pool_lens.append(min(int(big[i % len(big)]), ROW_L))
+        tot += pool_lens[-1]
+        i += 1
+
+    seq_tok = []
+    st_tok = []
+    for li in pool_lens:
+        t = rng.randint(4, 24, size=li).astype(np.int32)
+        t[0] = 0
+        t[li - 1] = 2
+        seq_tok.append(t)
+        t2 = rng.randint(20, 53, size=li).astype(np.int32)
+        t2[0] = 0
+        t2[li - 1] = 2
+        st_tok.append(t2)
+
+    seq_ids, seq_seg, valid, rows = pack_token_rows(
+        seq_tok, ROW_L, P_SLOTS)
+    # mirror the EXACT layout for the modality side (same proteins, slots)
+    st_ids = np.full_like(seq_ids, 1)
+    for r, members in enumerate(rows):
+        off = 0
+        for s_i, idx in enumerate(members):
+            t = st_tok[idx]
+            st_ids[r, off:off + len(t)] = t
+            off += len(t)
+    st_seg = seq_seg  # identical layout by construction
+
+    n_rows = (seq_ids.shape[0] // R) * R
+    n_steps = min(steps, n_rows // R)
+    fill = float((seq_seg[:n_steps * R] >= 0).mean())
+    print(f"# packed: row_len={ROW_L} slots={P_SLOTS} rows/step={R} "
+          f"steps={n_steps} fill={fill:.3f} "
+          f"baseline(dyn-pad A100)={base:.1f} pairs/s", file=sys.stderr)
+
+    def cut(a):
+        return jnp.asarray(a[:n_steps * R].reshape(n_steps, R, -1))
+
+    xs = (cut(seq_ids), cut(seq_seg), cut(st_ids), cut(st_seg),
+          jnp.asarray(valid[:n_steps * R].reshape(n_steps, R * P_SLOTS)))
+    pairs = float(valid[:n_steps * R].sum())
+
+    step_fn = module.train_step_packed_fn("struct_token", P_SLOTS)
+
+    def k_steps(state, xs):
+        def body(st, x):
+            st2, loss = step_fn(st, *x)
+            return st2, loss
+
+        return jax.lax.scan(body, state, xs)
+
+    run = jax.jit(k_steps, donate_argnums=0)
+    t0 = time.time()
+    state, losses = run(state, xs)
+    print(f"# packed compile+first {n_steps} steps {time.time()-t0:.1f}s "
+          f"loss={float(losses[-1]):.3f}", file=sys.stderr)
+    t0 = time.time()
+    state, losses = run(state, xs)
+    float(losses[-1])
+    dt = time.time() - t0
+    per_chip = pairs / dt / max(n_chips, 1)
+    print(f"# packed: {pairs:.0f} pairs in {dt:.2f}s "
+          f"({dt/n_steps*1000:.0f} ms/step, {per_chip:.1f} pairs/s/chip)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": ("aligned pairs/sec/chip (ESM2-650M hub, realistic "
+                   "lengths, sequence-packed L=%d, bf16)" % ROW_L),
+        "value": round(per_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(per_chip / base, 2),
+    }))
+
+
+
 def main() -> None:
     import jax
 
@@ -248,6 +349,13 @@ def main() -> None:
     total, trainable = module.num_params()
     print(f"# init {time.time()-t0:.1f}s params total={total/1e6:.1f}M "
           f"trainable={trainable/1e6:.1f}M chips={n_chips}", file=sys.stderr)
+
+    if MODE == "packed":
+        if os.environ.get("BENCH_KERNEL_CHECK", "1") == "1":
+            kernel_numerics_check(
+                [(1024, 16 * max(n_chips, 1), None, None)])
+        run_packed(module, state, n_chips)
+        return
 
     if MODE == "fixed":
         plan = [(SEQ_LEN, BATCH * max(n_chips, 1), STEPS, 1.0)]

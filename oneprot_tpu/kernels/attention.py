@@ -113,7 +113,7 @@ def dot_product_attention(
 
 
 def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
-              lens=None):
+              lens=None, segment_ids=None):
     """Fused [B, L, H*D] flash MHA with in-kernel rotary (the transformer
     hot path — avoids every reshape/transpose copy around the kernel).
 
@@ -146,9 +146,9 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
     if (rope_cos is not None) and (D % 4 != 0):
         return None  # half-wise padding needs an even half
 
-    fn = lambda q, k, v, bias, lens: flash_mha.mha_attention(
+    fn = lambda q, k, v, bias, lens, seg: flash_mha.mha_attention(
         q, k, v, num_heads, bias=bias, rope_cos=rope_cos,
-        rope_sin=rope_sin, lens=lens)
+        rope_sin=rope_sin, lens=lens, segment_ids=seg)
 
     if _ACTIVE_MESH is not None:
         from jax import shard_map
@@ -159,16 +159,18 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
         dp = _ACTIVE_MESH.shape[DATA_AXIS]
         if B % dp != 0:
             return None
+        spec2 = P(DATA_AXIS, None)
         spec3 = P(DATA_AXIS, None, None)
         spec4 = P(DATA_AXIS, None, None, None)
         return shard_map(
             fn, mesh=_ACTIVE_MESH,
             in_specs=(spec3, spec3, spec3,
                       None if bias is None else spec4,
-                      None if lens is None else P(DATA_AXIS)),
+                      None if lens is None else P(DATA_AXIS),
+                      None if segment_ids is None else spec2),
             out_specs=spec3, check_vma=False,
-        )(q, k, v, bias, lens)
-    return fn(q, k, v, bias, lens)
+        )(q, k, v, bias, lens, segment_ids)
+    return fn(q, k, v, bias, lens, segment_ids)
 
 
 def fused_tied_row(q, k, v, num_heads, col_bias=None, scale=None):

@@ -146,8 +146,8 @@ def _head(x, g, d):
 
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
-                o_ref, lse_ref, *, block_k, lk, scale, rotary, skip, d,
-                chunks):
+                segq_ref, segk_ref, o_ref, lse_ref, *, block_k, lk, scale,
+                rotary, skip, d, chunks, segmented):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
@@ -165,6 +165,8 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
             q2 = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
             qs = [_head(q2, g, d) for g in range(G)]
             num_k = lk // block_k
+            if segmented:
+                seg_q = segq_ref[0]                      # [bq, 1]
 
             def block(idx, carry=None):
                 sl = pl.ds(idx * block_k, block_k)
@@ -172,6 +174,11 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                 if rotary:
                     k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
                 bias_blk = bias_ref[0, :, sl]
+                if segmented:
+                    # packed sequences: cross-segment logits are masked
+                    seg_k = segk_ref[0, :, sl]           # [1, bk]
+                    bias_blk = bias_blk + jnp.where(
+                        seg_q == seg_k, 0.0, _NEG_INF)
                 v2 = v_ref[0, sl, lo:lo + _BLOCK_LANES]
                 accs, ms, ls = [], [], []
                 for g in range(G):
@@ -244,7 +251,18 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
         compute()
 
 
-def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
+def _seg_views(seg, B, Lq):
+    """Segment ids [B, L] -> (q view [B, Lq, 1], k view [B, 1, Lq],
+    segmented flag). With seg=None, tiny dummies keep the kernel signature
+    stable while `segmented=False` drops all masking code."""
+    if seg is None:
+        dummy = jnp.zeros((B, 1, 1), jnp.int32)
+        return dummy, jnp.zeros((B, 1, 1), jnp.int32), False
+    seg = seg.astype(jnp.int32)
+    return seg[:, :, None], seg[:, None, :], True
+
+
+def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
          interpret=False):
     B, Lq, hd = q.shape
     Lk = k.shape[1]
@@ -260,11 +278,19 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
     dflt_k = DEFAULT_BLOCK_K // (G // 2)
     block_q = _block(Lq, SKIP_BLOCK if skip else dflt_q)
     block_k = _block(Lk, SKIP_BLOCK if skip else dflt_k)
+    segq, segk, segmented = _seg_views(seg, B, Lq)
 
     q_map = lambda b, h, i, lref: (b, i, h)
     kv_map = lambda b, h, i, lref: (b, 0, h)
     bias_map = lambda b, h, i, lref: (b, 0, 0)
     cs_map = lambda b, h, i, lref: (0, 0)
+    segq_map = lambda b, h, i, lref: (b, i, 0)
+    segk_map = lambda b, h, i, lref: (b, 0, 0)
+    segq_spec = pl.BlockSpec(
+        (1, block_q if segmented else 1, 1), segq_map,
+        memory_space=pltpu.VMEM)
+    segk_spec = pl.BlockSpec(
+        (1, 1, Lk if segmented else 1), segk_map, memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -279,6 +305,8 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
             pl.BlockSpec((1, 1, Lk), bias_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
+            segq_spec,
+            segk_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, lanes), q_map,
@@ -290,7 +318,8 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, lk=Lk, scale=scale,
-                          rotary=rotary, skip=skip, d=d, chunks=C),
+                          rotary=rotary, skip=skip, d=d, chunks=C,
+                          segmented=segmented),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),
@@ -299,7 +328,7 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(lens, q, k, v, bias_b, cos_p, sin_p)
+    )(lens, q, k, v, bias_b, cos_p, sin_p, segq, segk)
     return out, lse
 
 
@@ -309,8 +338,8 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
 
 
 def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
-                   do_ref, lse_ref, delta_ref, dq_ref,
-                   *, block_k, lk, scale, rotary, skip, d, chunks):
+                   do_ref, lse_ref, delta_ref, segq_ref, segk_ref, dq_ref,
+                   *, block_k, lk, scale, rotary, skip, d, chunks, segmented):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
@@ -335,6 +364,8 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
             lse2 = lse_ref[0][:, c * lse8:(c + 1) * lse8]   # [bq, 8G]
             delta2 = delta_ref[0][:, c * lse8:(c + 1) * lse8]
             num_k = lk // block_k
+            if segmented:
+                seg_q = segq_ref[0]                      # [bq, 1]
 
             def block(idx, carry):
                 dqs = list(carry)
@@ -344,6 +375,10 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                     k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
                 v2 = v_ref[0, sl, lo:lo + _BLOCK_LANES]
                 bias_blk = bias_ref[0, :, sl]
+                if segmented:
+                    seg_k = segk_ref[0, :, sl]           # [1, bk]
+                    bias_blk = bias_blk + jnp.where(
+                        seg_q == seg_k, 0.0, _NEG_INF)
                 for g in range(G):
                     qh, doh = _head(qf, g, d), _head(do2, g, d)
                     kh, vh = _head(k2, g, d), _head(v2, g, d)
@@ -397,8 +432,10 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
 
 
 def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
-                    sin_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                    *, block_q, lq, scale, rotary, skip, d, chunks):
+                    sin_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+                    dk_ref, dv_ref,
+                    *, block_q, lq, scale, rotary, skip, d, chunks,
+                    segmented):
     in_dtype = k_ref.dtype
     G = _BLOCK_LANES // d
     j = pl.program_id(2)
@@ -421,6 +458,10 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
             v2 = v_ref[0][:, lo:lo + _BLOCK_LANES]
             bias_blk = bias_ref[0]                       # [1, bk]
             num_q = lq // block_q
+            if segmented:
+                # this program's keys: [1, bk] slice of the k-aligned view
+                slk2 = pl.ds(j * block_k, block_k)
+                seg_k = segk_ref[0, :, slk2]
 
             def block(idx, carry):
                 dks = list(carry[:G])
@@ -433,6 +474,11 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
                 do2 = do_ref[0, sl, lo:lo + _BLOCK_LANES]
                 lse2 = lse_ref[0, sl, c * lse8:(c + 1) * lse8]
                 delta2 = delta_ref[0, sl, c * lse8:(c + 1) * lse8]
+                bias_q = bias_blk
+                if segmented:
+                    seg_q = segq_ref[0, sl, :]           # [bq, 1]
+                    bias_q = bias_q + jnp.where(
+                        seg_q == seg_k, 0.0, _NEG_INF)
                 for g in range(G):
                     qh, doh = _head(qf, g, d), _head(do2, g, d)
                     kh, vh = _head(k2r, g, d), _head(v2, g, d)
@@ -441,7 +487,7 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
                     s = jax.lax.dot_general(
                         qh, kh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    p = jnp.exp2(s + bias_blk - lseh)    # [bq, bk]
+                    p = jnp.exp2(s + bias_q - lseh)      # [bq, bk]
                     p_lo = p.astype(in_dtype)
                     dvs[g] = dvs[g] + jax.lax.dot_general(
                         p_lo, doh, (((0,), (0,)), ((), ())),
@@ -498,7 +544,7 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
 
 
 def _bwd(scale, rotary, skip, d, interpret, res, g):
-    q, k, v, bias_b, cos_p, sin_p, lens, out, lse = res
+    q, k, v, bias_b, cos_p, sin_p, lens, seg, out, lse = res
     B, Lq, hd = q.shape
     Lk = k.shape[1]
     G = _BLOCK_LANES // d
@@ -510,6 +556,7 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
     bwd_dflt = 512 // (G // 2)
     block_q = _block(Lq, SKIP_BLOCK if skip else bwd_dflt)
     block_k = _block(Lk, SKIP_BLOCK if skip else bwd_dflt)
+    segq, segk, segmented = _seg_views(seg, B, Lq)
 
     # delta[b, l, head] = sum_d(dout * out) per head, laid out like lse:
     # [B*HGC, L, C*8G] with lanes [(c*G+g)*8 : +8] = head g of chunk c
@@ -525,10 +572,20 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
     lse_q = lambda b, h, i, lref: (b * HGC + h, i, 0)
     lse_full = lambda b, h, i, lref: (b * HGC + h, 0, 0)
 
+    segq_q_spec = pl.BlockSpec(
+        (1, block_q if segmented else 1, 1),
+        lambda b, h, i, lref: (b, i, 0), memory_space=pltpu.VMEM)
+    segq_full_spec = pl.BlockSpec(
+        (1, Lq if segmented else 1, 1),
+        lambda b, h, i, lref: (b, 0, 0), memory_space=pltpu.VMEM)
+    segk_spec = pl.BlockSpec(
+        (1, 1, Lk if segmented else 1),
+        lambda b, h, i, lref: (b, 0, 0), memory_space=pltpu.VMEM)
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, lk=Lk,
                           scale=scale, rotary=rotary, skip=skip, d=d,
-                          chunks=C),
+                          chunks=C, segmented=segmented),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, HGC, Lq // block_q),
@@ -550,6 +607,8 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, lse_lanes), lse_q,
                              memory_space=pltpu.VMEM),
+                segq_q_spec,
+                segk_spec,
             ],
             out_specs=pl.BlockSpec((1, block_q, lanes), q_map,
                                    memory_space=pltpu.VMEM),
@@ -558,13 +617,13 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(lens, q, k, v, bias_b, cos_p, sin_p, g, lse, delta)
+    )(lens, q, k, v, bias_b, cos_p, sin_p, g, lse, delta, segq, segk)
 
     k_map = lambda b, h, j, lref: (b, j, h)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, lq=Lq,
                           scale=scale, rotary=rotary, skip=skip, d=d,
-                          chunks=C),
+                          chunks=C, segmented=segmented),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, HGC, Lk // block_k),
@@ -588,6 +647,8 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Lq, lse_lanes), lse_full,
                              memory_space=pltpu.VMEM),
+                segq_full_spec,
+                segk_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, lanes), k_map,
@@ -603,9 +664,9 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(lens, q, k, v, bias_b, cos_p, sin_p, g, lse, delta)
+    )(lens, q, k, v, bias_b, cos_p, sin_p, g, lse, delta, segq, segk)
 
-    return dq, dk, dv, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None
 
 
 # ---------------------------------------------------------------------------
@@ -613,19 +674,19 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _mha_core(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip, d,
-              interpret):
-    out, _ = _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
-                  d, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _mha_core(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip,
+              d, interpret):
+    out, _ = _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary,
+                  skip, d, interpret)
     return out
 
 
-def _mha_core_fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
-                  d, interpret):
-    out, lse = _fwd(q, k, v, bias_b, cos_p, sin_p, lens, scale, rotary, skip,
-                    d, interpret)
-    return out, (q, k, v, bias_b, cos_p, sin_p, lens, out, lse)
+def _mha_core_fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary,
+                  skip, d, interpret):
+    out, lse = _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary,
+                    skip, d, interpret)
+    return out, (q, k, v, bias_b, cos_p, sin_p, lens, seg, out, lse)
 
 
 def _mha_core_bwd(scale, rotary, skip, d, interpret, res, g):
@@ -653,6 +714,7 @@ def mha_attention(
     rope_cos: Optional[jax.Array] = None,   # [L, D]
     rope_sin: Optional[jax.Array] = None,
     lens: Optional[jax.Array] = None,       # [B] true lengths (end padding)
+    segment_ids: Optional[jax.Array] = None,  # [B, L] int; packed sequences
     interpret: bool = False,
 ) -> jax.Array:
     """Flash MHA on [B, L, H*D] activations with optional fused rotary.
@@ -660,7 +722,10 @@ def mha_attention(
     Head dims pad half-wise to the smallest supported lane width (32 or 64;
     zero lanes change nothing, the true 1/sqrt(D) softmax scale is used).
     With `lens`, padded query/key blocks are skipped (requires end-padding
-    consistent with `bias`). Returns [B, L, H*D].
+    consistent with `bias`). With `segment_ids` (sequence packing: multiple
+    proteins per row), attention is block-diagonal per segment — the mask is
+    built IN-KERNEL from the ids, so no [B, L, L] bias ever materializes.
+    Returns [B, L, H*D].
     """
     B, L, hd = q.shape
     H = num_heads
@@ -705,8 +770,8 @@ def mha_attention(
     else:
         lens_arr = lens.astype(jnp.int32)
 
-    out = _mha_core(qp, kp, vp, bias_b, cos_p, sin_p, lens_arr, scale,
-                    rotary, skip, d_pad, interpret)
+    out = _mha_core(qp, kp, vp, bias_b, cos_p, sin_p, lens_arr, segment_ids,
+                    scale, rotary, skip, d_pad, interpret)
     if D == d_pad:
         return out
     oh = out.reshape(B, L, H, 2, d_pad // 2)

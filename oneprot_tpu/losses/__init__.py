@@ -1,4 +1,4 @@
-from oneprot_tpu.losses.clip import clip_loss  # noqa: F401
+from oneprot_tpu.losses.clip import clip_loss, clip_loss_masked  # noqa: F401
 from oneprot_tpu.losses.siglip import siglip_loss  # noqa: F401
 
 

@@ -85,3 +85,30 @@ def clip_loss(
     # identical on every shard; pmean makes the replication explicit so
     # shard_map can type the output as replicated
     return jax.lax.pmean(loss, axis_name)
+
+
+def clip_loss_masked(
+    modality_features: jax.Array,   # [N, D] incl. invalid pack slots
+    sequence_features: jax.Array,   # [N, D]
+    valid: jax.Array,               # [N] 1 = real pair, 0 = empty slot
+    logit_scale: float | jax.Array = 1.0,
+) -> jax.Array:
+    """Symmetric InfoNCE over a PACKED batch: rows from empty pack slots
+    are excluded from both the positives (zero row weight) and the
+    negatives (their logit columns are masked to -inf). With all-valid
+    rows this equals clip_loss exactly."""
+    valid = valid.astype(jnp.float32)
+    neg_mask = (1.0 - valid) * -1e9                      # [N]
+
+    def masked_ce(logits):
+        logits = logits.astype(jnp.float32) + neg_mask[None, :]
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.diagonal(logits)
+        per_row = (logz - picked) * valid
+        return per_row.sum() / jnp.maximum(valid.sum(), 1.0)
+
+    logits_per_mod = logit_scale * (
+        modality_features @ sequence_features.T)
+    logits_per_seq = logit_scale * (
+        sequence_features @ modality_features.T)
+    return 0.5 * (masked_ce(logits_per_mod) + masked_ce(logits_per_seq))

@@ -93,6 +93,25 @@ class SequenceEncoder(nn.Module):
         return self.head.project(
             self.backbone_pooled(input_ids, deterministic=deterministic))
 
+    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
+                        num_segments: int):
+        """Sequence-packed forward: multiple proteins per row with
+        block-diagonal attention (in-kernel segment mask), pooled per
+        segment. Returns (features [B*P, out_dim], counts [B*P]) — rows
+        with count 0 are empty pack slots (mask them in the loss)."""
+        from oneprot_tpu.models.heads import segment_mean_pool
+
+        mask = ((input_ids != self.config.pad_token_id)
+                & (segment_ids >= 0)).astype(jnp.int32)
+        hidden = self.transformer(input_ids, segment_ids=segment_ids)
+        if self.frozen and self.lora_rank == 0:
+            hidden = jax.lax.stop_gradient(hidden)
+        pooled, counts = segment_mean_pool(hidden, mask, segment_ids,
+                                           num_segments)
+        B, P, H = pooled.shape
+        return (self.head.project(pooled.reshape(B * P, H)),
+                counts.reshape(B * P))
+
 
 class StructTokenEncoder(nn.Module):
     """Smaller ESM2 over interleaved SaProt 3Di structure tokens."""
@@ -107,12 +126,10 @@ class StructTokenEncoder(nn.Module):
     remat: bool = False
     pretrained_dir: Optional[str] = None
 
-    @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
-        hidden = Esm2(self.config, dtype=self.dtype, remat=self.remat,
-                      name="transformer")(input_ids)
-        return EncoderHead(
+    def setup(self):
+        self.transformer = Esm2(self.config, dtype=self.dtype,
+                                remat=self.remat)
+        self.head = EncoderHead(
             d_model=self.config.hidden_size,
             output_dim=self.output_dim,
             proj_type=self.proj_type,
@@ -120,8 +137,27 @@ class StructTokenEncoder(nn.Module):
             use_logit_scale=self.use_logit_scale,
             learnable_logit_scale=self.learnable_logit_scale,
             dtype=self.dtype,
-            name="head",
-        )(hidden, mask)
+        )
+
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        hidden = self.transformer(input_ids)
+        return self.head(hidden, mask)
+
+    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
+                        num_segments: int):
+        """See SequenceEncoder.packed_features (this tower is trainable:
+        gradients flow through the segment-masked attention kernels)."""
+        from oneprot_tpu.models.heads import segment_mean_pool
+
+        mask = ((input_ids != self.config.pad_token_id)
+                & (segment_ids >= 0)).astype(jnp.int32)
+        hidden = self.transformer(input_ids, segment_ids=segment_ids)
+        pooled, counts = segment_mean_pool(hidden, mask, segment_ids,
+                                           num_segments)
+        B, P, H = pooled.shape
+        return (self.head.project(pooled.reshape(B * P, H)),
+                counts.reshape(B * P))
 
 
 class TextEncoder(nn.Module):
@@ -280,6 +316,15 @@ class OneProtModel(nn.Module):
             name: self(inputs, name, deterministic=True)
             for name, inputs in examples.items()
         }
+
+    def encode_packed(self, inputs: Any, segment_ids: jax.Array,
+                      num_segments: int, modality: str = "sequence"):
+        """Sequence-packed forward for token encoders (sequence/seqsim/
+        struct_token): returns (features [B*P, d], counts [B*P])."""
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        return self.encoders[modality].packed_features(
+            inputs, segment_ids, num_segments)
 
     def encode_pooled(self, inputs: Any,
                       modality: str = "sequence") -> jax.Array:

@@ -249,7 +249,8 @@ class Esm2SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
                  lens: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 segment_ids: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         B, L, H = x.shape
         nh = cfg.num_heads
@@ -270,14 +271,22 @@ class Esm2SelfAttention(nn.Module):
 
         cos, sin = rotary_cos_sin(L, hd, dtype=q2d.dtype)
         ctx = fused_mha(q2d, k2d, v2d, nh, bias=bias,
-                        rope_cos=cos, rope_sin=sin, lens=lens)
+                        rope_cos=cos, rope_sin=sin, lens=lens,
+                        segment_ids=segment_ids)
         if ctx is None:  # reference path (CPU tests, odd shapes)
             q = q2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
             k = k2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
             v = v2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
             q = apply_rotary(q, cos, sin)
             k = apply_rotary(k, cos, sin)
-            ctx = dot_product_attention(q, k, v, bias=bias)
+            bias4 = bias
+            if segment_ids is not None:
+                # packed rows: block-diagonal attention per segment
+                segmask = jnp.where(
+                    segment_ids[:, :, None] == segment_ids[:, None, :],
+                    0.0, -1e9)[:, None]          # [B, 1, L, L]
+                bias4 = segmask if bias4 is None else bias4 + segmask
+            ctx = dot_product_attention(q, k, v, bias=bias4)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         o_cls = Int8Dense if self.quant_int8 else nn.Dense
         return o_cls(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
@@ -294,14 +303,16 @@ class Esm2Layer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
                  lens: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 segment_ids: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attn_ln")(x)
         h = Esm2SelfAttention(cfg, self.lora_rank, self.lora_alpha,
                               self.lora_dropout,
                               dtype=self.dtype, quant_int8=self.quant_int8,
-                              name="attn")(h, bias, lens, deterministic)
+                              name="attn")(h, bias, lens, deterministic,
+                                           segment_ids)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="ffn_ln")(x)
@@ -325,7 +336,8 @@ class Esm2(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids: jax.Array,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 segment_ids: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
 
@@ -368,7 +380,8 @@ class Esm2(nn.Module):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
                           self.lora_dropout,
                           dtype=self.dtype, quant_int8=self.quant_int8,
-                          name=f"layer_{i}")(x, bias, lens, deterministic)
+                          name=f"layer_{i}")(x, bias, lens, deterministic,
+                                             segment_ids)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_ln")(x)

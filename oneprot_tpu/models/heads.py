@@ -163,3 +163,34 @@ class EncoderHead(nn.Module):
         self, features: jax.Array, mask: Optional[jax.Array] = None
     ) -> jax.Array:
         return self.project(self.pool(features, mask))
+
+
+def segment_mean_pool(features: jax.Array, token_mask: jax.Array,
+                      segment_ids: jax.Array, num_segments: int):
+    """Per-segment mask-aware mean for PACKED rows (sequence packing).
+
+    features [B, L, H]; token_mask [B, L] (1 = real token); segment_ids
+    [B, L] int (pads may be -1). Returns (pooled [B, P, H],
+    counts [B, P]) where P = num_segments; empty slots pool to zeros.
+    The one-hot contraction runs as a single [P, L] x [L, H] matmul per
+    row — MXU-friendly, no scatters.
+    """
+    seg = segment_ids[:, :, None]
+    slots = jnp.arange(num_segments)[None, None, :]
+    onehot = ((seg == slots) & (token_mask[:, :, None] > 0)).astype(
+        features.dtype)                                  # [B, L, P]
+    counts = onehot.sum(axis=1)                          # [B, P]
+    pooled = jnp.einsum("blp,blh->bph", onehot, features,
+                        preferred_element_type=jnp.float32)
+    pooled = pooled / jnp.maximum(counts[..., None], 1.0)
+    # empty slots pool to EXACTLY zero, and the L2-normalize after the
+    # projection has a NaN gradient at the zero vector (0/0 in the norm
+    # vjp) which poisons the whole backward even under a zero cotangent.
+    # Fill empty slots with a NON-CONSTANT vector (a constant one recreates
+    # the zero after the head's LayerNorm centers it); their features are
+    # masked out of the loss, so any finite value is fine.
+    H = features.shape[-1]
+    filler = (jnp.arange(H, dtype=jnp.float32) / H - 0.5)[None, None, :]
+    empty = (counts <= 0).astype(jnp.float32)[..., None]
+    pooled = pooled + empty * filler
+    return pooled.astype(features.dtype), counts

@@ -423,6 +423,48 @@ class OneProtModule:
         seq_pooled, mod_inputs = self._shard_batch(seq_pooled, mod_inputs)
         return self._train_step_cache[key](state, seq_pooled, mod_inputs)
 
+    def train_step_packed_fn(self, modality: str, num_segments: int):
+        """Raw train step over PACKED batches (sequence packing,
+        data/packing.py): both towers run segment-masked attention over
+        rows holding several proteins each, pool per segment, and the CLIP
+        loss runs over the unpacked per-protein features with empty pack
+        slots masked (losses/clip.py clip_loss_masked). Token encoders
+        only (sequence/seqsim <-> struct_token/text)."""
+        from oneprot_tpu.losses import clip_loss_masked
+
+        mask = self.mask
+        tx = self.tx
+
+        def step_fn(state: TrainState, seq_ids, seq_seg, mod_ids, mod_seg,
+                    valid):
+            trainable, frozen = optim_lib.partition_params(state.params, mask)
+
+            def loss_fn(trainable_params):
+                params = optim_lib.merge_params(trainable_params, frozen)
+                seq_feats, _ = self.model.apply(
+                    {"params": params}, seq_ids, seq_seg, num_segments,
+                    "sequence", method=OneProtModel.encode_packed)
+                mod_feats, _ = self.model.apply(
+                    {"params": params}, mod_ids, mod_seg, num_segments,
+                    modality, method=OneProtModel.encode_packed)
+                loss = clip_loss_masked(mod_feats, seq_feats, valid)
+                if self.use_l1_regularization:
+                    v = valid.astype(jnp.float32)[:, None]
+                    n = jnp.maximum(v.sum(), 1.0) * seq_feats.shape[-1]
+                    loss = loss + 0.01 * (
+                        jnp.sum(jnp.abs(seq_feats) * v) / n
+                        + jnp.sum(jnp.abs(mod_feats) * v) / n)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_params = optim_lib.merge_params(new_trainable, frozen)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=new_opt), loss
+
+        return step_fn
+
     def train_step_fully_cached_fn(self, modality: str):
         """Raw step where BOTH towers' backbones are cached (frozen hub +
         frozen modality tower, e.g. seq<->text / seq<->msa / seqsim):

@@ -410,3 +410,73 @@ def test_mha_attention_chunked_groups_match_reference():
 
     finally:
         del os.environ["ONEPROT_MHA_CHUNKS"]
+
+
+def test_mha_attention_segment_ids_match_unpacked():
+    """Sequence packing: a row holding two segments with in-kernel
+    segment masking must equal running each segment as its own row —
+    forward AND gradients (both bwd kernels see the mask)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oneprot_tpu.kernels.flash_mha import mha_attention
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    nh, d = 4, 64
+    L, half = 256, 128
+    hd = nh * d
+    rng = np.random.RandomState(4)
+    packed_q = jnp.asarray(rng.randn(1, L, hd), jnp.float32)
+    packed_k = jnp.asarray(rng.randn(1, L, hd), jnp.float32)
+    packed_v = jnp.asarray(rng.randn(1, L, hd), jnp.float32)
+    seg = jnp.asarray(np.repeat([[0, 1]], half, axis=1).reshape(1, L))
+    assert seg.shape == (1, L)
+    cos, sin = rotary_cos_sin(L, d, jnp.float32)
+    cos_h, sin_h = rotary_cos_sin(half, d, jnp.float32)
+
+    out_packed = mha_attention(packed_q, packed_k, packed_v, nh,
+                               rope_cos=cos, rope_sin=sin, segment_ids=seg,
+                               interpret=True)
+    # rotary positions RESTART per segment in the unpacked oracle only if
+    # the packer restarts them; here both halves use absolute positions, so
+    # compare against per-half slices with the matching cos/sin offsets
+    outs = []
+    for s0 in (0, half):
+        sl = slice(s0, s0 + half)
+        cos_s = cos[s0:s0 + half]
+        sin_s = sin[s0:s0 + half]
+        outs.append(mha_attention(
+            packed_q[:, sl], packed_k[:, sl], packed_v[:, sl], nh,
+            rope_cos=cos_s, rope_sin=sin_s, interpret=True))
+    want = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients through the packed path == concatenated per-segment grads
+    g = jnp.asarray(rng.randn(1, L, hd), jnp.float32)
+
+    def loss_packed(q_, k_, v_):
+        o = mha_attention(q_, k_, v_, nh, rope_cos=cos, rope_sin=sin,
+                          segment_ids=seg, interpret=True)
+        return jnp.sum(o * g)
+
+    def loss_half(q_, k_, v_, s0):
+        cos_s, sin_s = cos[s0:s0 + half], sin[s0:s0 + half]
+        o = mha_attention(q_, k_, v_, nh, rope_cos=cos_s, rope_sin=sin_s,
+                          interpret=True)
+        return jnp.sum(o * g[:, s0:s0 + half])
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(packed_q, packed_k,
+                                                  packed_v)
+    for a_idx, name in enumerate("qkv"):
+        parts = []
+        for s0 in (0, half):
+            sl = slice(s0, s0 + half)
+            gh = jax.grad(loss_half, argnums=(0, 1, 2))(
+                packed_q[:, sl], packed_k[:, sl], packed_v[:, sl], s0)
+            parts.append(gh[a_idx])
+        want_g = jnp.concatenate(parts, axis=1)
+        np.testing.assert_allclose(np.asarray(gp[a_idx]), np.asarray(want_g),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{name} mismatch")
