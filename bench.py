@@ -201,104 +201,126 @@ def kernel_numerics_check(plan) -> None:
 
 
 def run_packed(module, state, n_chips: int) -> None:
-    """BENCH_MODE=packed: sequence packing — multiple proteins per L=1024
-    row with in-kernel segment masking (data/packing.py). Fill rises from
-    the bucketed ~78% to ~97%, so more real pairs train per step at the
-    same step cost. Same baseline as the bucketed mode (identical length
+    """BENCH_MODE=packed: sequence packing INTO LENGTH GROUPS — proteins
+    are split by length into pack groups (row lengths BENCH_PACK_ROWS,
+    default 384,768,1024), and each group packs multiple proteins per row
+    with in-kernel segment masking (data/packing.py). Fill rises from the
+    bucketed ~78% to ~99% while short proteins keep short rows — combining
+    the bucket win (cheap rows for the short mass) with the packing win
+    (no padding). Same baseline as the bucketed mode (identical length
     distribution, reference dynamic padding)."""
     import jax
     import jax.numpy as jnp
 
     from oneprot_tpu.data.packing import pack_token_rows
 
-    ROW_L = int(os.environ.get("BENCH_PACK_ROW", 1024))
-    P_SLOTS = int(os.environ.get("BENCH_PACK_SLOTS", 16))
-    R = max(TOKENS // ROW_L, 1) * max(n_chips, 1)
+    row_lens = [int(x) for x in
+                os.environ.get("BENCH_PACK_ROWS", "384,768,1024").split(",")]
     steps = STEPS
 
     sampled = sample_lengths(8192)
     base = baseline_pairs_per_sec(sampled)
 
-    rng = np.random.RandomState(9)
-    # draw enough proteins to fill steps*R rows at ~97% fill
-    need_tokens = int(steps * R * ROW_L * 1.05)
-    pool_lens = []
-    tot = 0
-    i = 0
+    # big length pool, split into pack groups by row length
     big = sample_lengths(262144, seed=42)
-    while tot < need_tokens:
-        pool_lens.append(min(int(big[i % len(big)]), ROW_L))
-        tot += pool_lens[-1]
-        i += 1
-
-    seq_tok = []
-    st_tok = []
-    for li in pool_lens:
-        t = rng.randint(4, 24, size=li).astype(np.int32)
-        t[0] = 0
-        t[li - 1] = 2
-        seq_tok.append(t)
-        t2 = rng.randint(20, 53, size=li).astype(np.int32)
-        t2[0] = 0
-        t2[li - 1] = 2
-        st_tok.append(t2)
-
-    seq_ids, seq_seg, valid, rows = pack_token_rows(
-        seq_tok, ROW_L, P_SLOTS)
-    # mirror the EXACT layout for the modality side (same proteins, slots)
-    st_ids = np.full_like(seq_ids, 1)
-    for r, members in enumerate(rows):
-        off = 0
-        for s_i, idx in enumerate(members):
-            t = st_tok[idx]
-            st_ids[r, off:off + len(t)] = t
-            off += len(t)
-    st_seg = seq_seg  # identical layout by construction
-
-    n_rows = (seq_ids.shape[0] // R) * R
-    n_steps = min(steps, n_rows // R)
-    fill = float((seq_seg[:n_steps * R] >= 0).mean())
-    print(f"# packed: row_len={ROW_L} slots={P_SLOTS} rows/step={R} "
-          f"steps={n_steps} fill={fill:.3f} "
+    groups = []
+    prev = 0
+    for rl in row_lens:
+        sel = big[(big > prev) & (big <= rl)]
+        share = float(((sampled > prev) & (sampled <= rl)).mean())
+        groups.append((rl, sel, share))
+        prev = rl
+    print(f"# packed groups={row_lens} "
+          f"shares={[round(g[2], 3) for g in groups]} "
           f"baseline(dyn-pad A100)={base:.1f} pairs/s", file=sys.stderr)
 
-    def cut(a):
-        return jnp.asarray(a[:n_steps * R].reshape(n_steps, R, -1))
+    rng = np.random.RandomState(9)
+    total_pairs = 0.0
+    total_time = 0.0
+    for rl, sel, share in groups:
+        R = max(TOKENS // rl, 1) * max(n_chips, 1)
+        n_steps = max(int(round(steps * share / max(groups[-1][2], 1e-9)
+                                * (groups[-1][0] / rl))), 4)
+        p_slots = max(4, rl // 96)
+        need_tokens = int(n_steps * R * rl * 1.05)
+        pool_lens = []
+        tot = 0
+        i = 0
+        while tot < need_tokens:
+            pool_lens.append(int(sel[i % len(sel)]))
+            tot += pool_lens[-1]
+            i += 1
 
-    xs = (cut(seq_ids), cut(seq_seg), cut(st_ids), cut(st_seg),
-          jnp.asarray(valid[:n_steps * R].reshape(n_steps, R * P_SLOTS)))
-    pairs = float(valid[:n_steps * R].sum())
+        seq_tok = []
+        st_tok = []
+        for li in pool_lens:
+            t = rng.randint(4, 24, size=li).astype(np.int32)
+            t[0] = 0
+            t[li - 1] = 2
+            seq_tok.append(t)
+            t2 = rng.randint(20, 53, size=li).astype(np.int32)
+            t2[0] = 0
+            t2[li - 1] = 2
+            st_tok.append(t2)
 
-    step_fn = module.train_step_packed_fn("struct_token", P_SLOTS)
+        seq_ids, seq_seg, valid, rows = pack_token_rows(
+            seq_tok, rl, p_slots)
+        # mirror the EXACT layout for the modality side
+        st_ids = np.full_like(seq_ids, 1)
+        for r, members in enumerate(rows):
+            off = 0
+            for s_i, idx in enumerate(members):
+                t = st_tok[idx]
+                st_ids[r, off:off + len(t)] = t
+                off += len(t)
+        st_seg = seq_seg
 
-    def k_steps(state, xs):
-        def body(st, x):
-            st2, loss = step_fn(st, *x)
-            return st2, loss
+        n_rows = (seq_ids.shape[0] // R) * R
+        n_steps = min(n_steps, n_rows // R)
+        fill = float((seq_seg[:n_steps * R] >= 0).mean())
 
-        return jax.lax.scan(body, state, xs)
+        def cut(a):
+            return jnp.asarray(a[:n_steps * R].reshape(n_steps, R, -1))
 
-    run = jax.jit(k_steps, donate_argnums=0)
-    t0 = time.time()
-    state, losses = run(state, xs)
-    print(f"# packed compile+first {n_steps} steps {time.time()-t0:.1f}s "
-          f"loss={float(losses[-1]):.3f}", file=sys.stderr)
-    t0 = time.time()
-    state, losses = run(state, xs)
-    float(losses[-1])
-    dt = time.time() - t0
-    per_chip = pairs / dt / max(n_chips, 1)
-    print(f"# packed: {pairs:.0f} pairs in {dt:.2f}s "
-          f"({dt/n_steps*1000:.0f} ms/step, {per_chip:.1f} pairs/s/chip)",
-          file=sys.stderr)
+        xs = (cut(seq_ids), cut(seq_seg), cut(st_ids), cut(st_seg),
+              jnp.asarray(valid[:n_steps * R].reshape(n_steps,
+                                                      R * p_slots)))
+        pairs = float(valid[:n_steps * R].sum())
+
+        step_fn = module.train_step_packed_fn("struct_token", p_slots)
+
+        def k_steps(state, xs):
+            def body(st, x):
+                st2, loss = step_fn(st, *x)
+                return st2, loss
+
+            return jax.lax.scan(body, state, xs)
+
+        run = jax.jit(k_steps, donate_argnums=0)
+        t0 = time.time()
+        state, losses = run(state, xs)
+        print(f"# packed L={rl} R={R} P={p_slots} fill={fill:.3f}: "
+              f"compile+first {n_steps} steps {time.time()-t0:.1f}s "
+              f"loss={float(losses[-1]):.3f}", file=sys.stderr)
+        t0 = time.time()
+        state, losses = run(state, xs)
+        float(losses[-1])
+        dt = time.time() - t0
+        print(f"# packed L={rl}: {pairs:.0f} pairs in {dt:.2f}s "
+              f"({dt/n_steps*1000:.0f} ms/step, "
+              f"{pairs/dt/max(n_chips,1):.1f} pairs/s/chip)",
+              file=sys.stderr)
+        total_pairs += pairs
+        total_time += dt
+
+    per_chip = total_pairs / total_time / max(n_chips, 1)
     print(json.dumps({
         "metric": ("aligned pairs/sec/chip (ESM2-650M hub, realistic "
-                   "lengths, sequence-packed L=%d, bf16)" % ROW_L),
+                   "lengths, sequence-packed rows, bf16)"),
         "value": round(per_chip, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(per_chip / base, 2),
     }))
-
 
 
 def main() -> None:

@@ -42,7 +42,9 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, prefetch: int = 2,
-                 num_workers: int = 2, group_by_length: bool = True):
+                 num_workers: int = 2, group_by_length: bool = True,
+                 pack_rows: int = 0, pack_row_len: int = 1024,
+                 pack_slots: int = 16):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +52,13 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # sequence packing (data/packing.py): multiple proteins per row at
+        # a FIXED row count; engages when >0 and the dataset exposes
+        # tokenize_pair
+        self.pack_rows = (pack_rows
+                          if hasattr(dataset, "tokenize_pair") else 0)
+        self.pack_row_len = pack_row_len
+        self.pack_slots = pack_slots
         self.epoch = 0
         # Length-grouped batching: shuffled megabatch windows are sorted by
         # item length before chunking, so batches land in the smallest
@@ -113,6 +122,28 @@ class DataLoader:
                 continue
             yield [self.dataset[int(i)] for i in idxs]
 
+    def _packed_iter(self, epoch: int):
+        """Sequence-packed batches: stream the (shuffled, sharded) items
+        through the first-fit packer — constant [rows, row_len] shapes, one
+        jit compile, near-full fill. Yields the packed-batch protocol:
+        ({ids, segment_ids}, {ids, segment_ids}, modality+':packed', valid).
+        """
+        from oneprot_tpu.data.packing import pack_stream
+
+        def items():
+            for batch_items in self._batches(epoch):
+                for it in batch_items:
+                    pair = self.dataset.tokenize_pair(it)
+                    if pair is not None:
+                        yield pair
+
+        modality = getattr(self.dataset, "modality", "struct_token")
+        for p in pack_stream(items(), self.pack_row_len, self.pack_rows,
+                             self.pack_slots):
+            yield ({"ids": p["ids_a"], "segment_ids": p["seg_a"]},
+                   {"ids": p["ids_b"], "segment_ids": p["seg_b"]},
+                   modality, p["valid"])
+
     def __iter__(self):
         # both the order RNG and the collate RNG key off the SAME epoch
         # index (round-1 review: pre/post-increment mismatch was harmless
@@ -120,6 +151,9 @@ class DataLoader:
         epoch = self.epoch
         self.epoch += 1
         rng_seed = self.seed * 100003 + epoch
+        if self.pack_rows:
+            yield from self._packed_iter(epoch)
+            return
         if self.prefetch <= 0:
             for b, items in enumerate(self._batches(epoch)):
                 yield self.dataset.collate_fn(
@@ -202,6 +236,10 @@ class OneProtDataModule:
         prefetch: int = 2,
         seed: int = 0,
         group_by_length: bool = True,
+        pack_sequences: bool = False,
+        pack_rows: int = 16,
+        pack_row_len: int = 1024,
+        pack_slots: int = 16,
     ):
         self.modalities = modalities
         self.num_workers = num_workers  # collate thread-pool width
@@ -210,6 +248,12 @@ class OneProtDataModule:
         self.prefetch = prefetch
         self.seed = seed
         self.group_by_length = group_by_length
+        # sequence packing for TRAIN loaders of token-pair modalities
+        # (datasets exposing tokenize_pair); val/test stay unpacked
+        self.pack_sequences = pack_sequences
+        self.pack_rows = pack_rows
+        self.pack_row_len = pack_row_len
+        self.pack_slots = pack_slots
         self.datasets: Dict[str, Any] = {}
 
     def setup(self, stage: Optional[str] = None) -> None:
@@ -248,6 +292,10 @@ class OneProtDataModule:
                 shuffle=shuffle, seed=self.seed, prefetch=self.prefetch,
                 num_workers=self.num_workers,
                 group_by_length=self.group_by_length,
+                pack_rows=(self.pack_rows
+                           if (self.pack_sequences and shuffle) else 0),
+                pack_row_len=self.pack_row_len,
+                pack_slots=self.pack_slots,
                 # static shapes + even DP sharding for train (val/test keep
                 # every item; the module replicates ragged tail batches)
                 drop_last=shuffle)

@@ -65,6 +65,22 @@ class StructTokenDataset(BaseDataset):
                 out[i] = 2
         return np.minimum(out, self.max_length)
 
+    def tokenize_pair(self, seq_id: str):
+        """Unpadded token pair for SEQUENCE PACKING (data/packing.py):
+        (seq tokens, struct tokens) incl. cls/eos, or None for missing ids."""
+        h5 = H5.get(self.filename)
+        if seq_id not in h5:
+            return None
+        strucseq = h5[seq_id]["strucseq"][()].decode("utf-8")
+        sequence = strucseq[0::2].replace("#", "")
+        structure_seq = strucseq[1::2]
+        if self.remove_hash:
+            structure_seq = structure_seq.replace("#", "")
+        return (np.asarray(self.seq_tok.encode_ids(
+                    sequence, self.max_length), np.int32),
+                np.asarray(self.struct_tok.encode_ids(
+                    structure_seq, self.max_length), np.int32))
+
     def collate_fn(self, seq_ids: List[str],
                    rng: Optional[np.random.RandomState] = None):
         h5 = H5.get(self.filename)

@@ -75,3 +75,65 @@ def pack_token_rows(
             valid[r, s] = 1.0
             off += len(t)
     return ids, seg, valid, rows
+
+
+def pack_stream(items, row_len: int, rows: int, max_per_row: int,
+                pad_id: int = 1):
+    """Pack a STREAM of token pairs into batches with a FIXED row count.
+
+    `items` yields (tokens_a, tokens_b) (each protein's two tokenized
+    sides, possibly different lengths). Rows fill first-fit by the max of
+    the two lengths so both sides share (row, slot) assignments; when an
+    item fits nowhere, the batch is finalized and a fresh one starts —
+    constant [rows, row_len] shapes (one jit compile) at near-full fill,
+    with the remainder carried into the next batch.
+
+    Yields dicts: ids_a/seg_a/ids_b/seg_b [rows, row_len], valid
+    [rows, max_per_row].
+    """
+
+    def new_state():
+        return ([[] for _ in range(rows)], [row_len] * rows)
+
+    def finalize(members):
+        ids_a = np.full((rows, row_len), pad_id, np.int32)
+        ids_b = np.full((rows, row_len), pad_id, np.int32)
+        seg_a = np.full((rows, row_len), -1, np.int32)
+        seg_b = np.full((rows, row_len), -1, np.int32)
+        valid = np.zeros((rows, max_per_row), np.float32)
+        n = 0
+        for r, row_items in enumerate(members):
+            off_a = off_b = 0
+            for s, (ta, tb) in enumerate(row_items):
+                ids_a[r, off_a:off_a + len(ta)] = ta
+                seg_a[r, off_a:off_a + len(ta)] = s
+                ids_b[r, off_b:off_b + len(tb)] = tb
+                seg_b[r, off_b:off_b + len(tb)] = s
+                valid[r, s] = 1.0
+                off_a += len(ta)
+                off_b += len(tb)
+                n += 1
+        return {"ids_a": ids_a, "seg_a": seg_a, "ids_b": ids_b,
+                "seg_b": seg_b, "valid": valid, "n_pairs": n}
+
+    members, room = new_state()
+    for ta, tb in items:
+        la, lb = len(ta), len(tb)
+        if max(la, lb) > row_len:
+            raise ValueError(
+                f"item length {max(la, lb)} exceeds row_len {row_len}")
+        placed = False
+        for r in range(rows):
+            if (room[r] >= max(la, lb)
+                    and len(members[r]) < max_per_row):
+                members[r].append((ta, tb))
+                room[r] -= max(la, lb)
+                placed = True
+                break
+        if not placed:
+            yield finalize(members)
+            members, room = new_state()
+            members[0].append((ta, tb))
+            room[0] -= max(la, lb)
+    if any(members[r] for r in range(rows)):
+        yield finalize(members)

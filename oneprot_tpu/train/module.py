@@ -465,6 +465,34 @@ class OneProtModule:
 
         return step_fn
 
+    def train_step_packed(self, state: TrainState, modality: str,
+                          seq_pack, mod_pack, valid):
+        """Jitted packed train step (sequence packing — see
+        train_step_packed_fn). seq_pack/mod_pack: {"ids": [R, L],
+        "segment_ids": [R, L]}; valid: [R, P]."""
+        valid = np.asarray(valid)
+        p_slots = valid.shape[1]
+        key = ("packed", modality, p_slots)
+        if key not in self._train_step_cache:
+            step_fn = self.train_step_packed_fn(modality, p_slots)
+            donate = (0,)
+            if self.mesh is not None:
+                from oneprot_tpu.core.partitioning import state_shardings
+
+                self._train_step_cache[key] = jax.jit(
+                    step_fn, donate_argnums=donate,
+                    out_shardings=(state_shardings(self.state),
+                                   NamedSharding(self.mesh, P())))
+            else:
+                self._train_step_cache[key] = jax.jit(
+                    step_fn, donate_argnums=donate)
+        seq_in, mod_in = self._shard_batch(
+            (seq_pack["ids"], seq_pack["segment_ids"]),
+            (mod_pack["ids"], mod_pack["segment_ids"]))
+        (valid_flat,), _ = self._shard_batch((valid.reshape(-1),), ())
+        return self._train_step_cache[key](
+            state, seq_in[0], seq_in[1], mod_in[0], mod_in[1], valid_flat)
+
     def train_step_fully_cached_fn(self, modality: str):
         """Raw step where BOTH towers' backbones are cached (frozen hub +
         frozen modality tower, e.g. seq<->text / seq<->msa / seqsim):

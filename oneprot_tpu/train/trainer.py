@@ -199,8 +199,15 @@ class Trainer:
                     n_batches += 1
                     for modality in module.modalities_to_train(
                             self.global_step, batch.keys()):
-                        seq_in, mod_in, _, _ = batch[modality]
-                        if (self.cache_frozen_features
+                        seq_in, mod_in, _, extra = batch[modality]
+                        if isinstance(seq_in, dict) and "segment_ids" in seq_in:
+                            # sequence-packed batch (data.pack_sequences):
+                            # both towers run segment-masked attention;
+                            # `extra` carries the [rows, slots] validity
+                            module.state, loss = module.train_step_packed(
+                                module.state, modality, seq_in, mod_in,
+                                extra)
+                        elif (self.cache_frozen_features
                                 and module.hub_is_cacheable()):
                             # frozen backbones: skip their forwards for
                             # rows seen before (feature_cache.py); frozen

@@ -136,3 +136,45 @@ def test_packed_train_step_learns():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_trainer_packed_e2e(tmp_path):
+    """Production surface: data.pack_sequences=true routes the train loop
+    through packed batches end-to-end (loader -> packer -> segment-masked
+    train step), loss finite and checkpoints written."""
+    import os
+
+    from oneprot_tpu.core.config import load_config, prepare_run_dir
+    from oneprot_tpu.data.synthetic import generate_fixtures
+    from oneprot_tpu.models import esm2
+
+    data_dir = str(tmp_path / "fixtures")
+    generate_fixtures(data_dir, n_train=12, n_eval=4, seed=0)
+    orig = esm2.ESM2_SIZES["esm2_t6_8M"]
+    esm2.ESM2_SIZES["esm2_t6_8M"] = esm2.Esm2Config(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64)
+    try:
+        import train as train_entry
+
+        cfg = load_config(
+            os.path.join(os.path.dirname(__file__), "..", "configs"),
+            "train",
+            overrides=[
+                "experiment=debug_struct_token",
+                f"paths.data_dir={data_dir}",
+                "model.components.sequence.output_dim=32",
+                "data.pack_sequences=true",
+                "data.pack_rows=2",
+                "data.pack_row_len=128",
+                "data.pack_slots=4",
+                "trainer.limit_train_batches=3",
+                "trainer.limit_val_batches=1",
+                "trainer.max_epochs=1",
+                "trainer.cache_frozen_features=false",
+                "test=False",
+            ])
+        cfg = prepare_run_dir(cfg, output_dir=str(tmp_path / "run"))
+        metrics = train_entry.train(cfg)
+    finally:
+        esm2.ESM2_SIZES["esm2_t6_8M"] = orig
+    assert np.isfinite(metrics.get("val/loss", np.nan))
