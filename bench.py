@@ -51,7 +51,9 @@ HUB_PARAMS = 650e6
 TOWER_PARAMS = 35e6
 FIXED_BASELINE_PAIRS_PER_SEC = 30.0  # old fixed-L=1024 denominator
 
-MODE = os.environ.get("BENCH_MODE", "buckets")
+# "packed" (sequence packing into backfilled length groups) measured 5.05x
+# vs 4.13x for "buckets"; "fixed" reproduces the round-1 L=1024 bench
+MODE = os.environ.get("BENCH_MODE", "packed")
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 TOKENS = int(os.environ.get("BENCH_TOKENS", 16384))  # per-step token budget
 SEQ_LEN = int(os.environ.get("BENCH_SEQ_LEN", 1024))
@@ -221,27 +223,64 @@ def run_packed(module, state, n_chips: int) -> None:
     sampled = sample_lengths(8192)
     base = baseline_pairs_per_sec(sampled)
 
-    # big length pool, split into pack groups by row length
-    big = sample_lengths(262144, seed=42)
+    # big length pool, split into pack groups by row length WITH BACKFILL:
+    # each protein's primary group is the smallest row that fits it, and
+    # the gaps in long-row groups are backfilled with short proteins drawn
+    # from the shortest group (without backfill, a mid-length group packs
+    # ~1 protein/row at ~0.75 fill and drags the aggregate below plain
+    # bucketing). Groups partition the distribution, so shares sum to ~1.
+    big = sample_lengths(262144, seed=42).astype(np.int64)
+    rng0 = np.random.RandomState(5)
+    rng0.shuffle(big)
+    cls = np.searchsorted(np.asarray(row_lens), big)  # primary group index
+    pools = [list(big[cls == g]) for g in range(len(row_lens))]
+    # short pool binned by size for LARGEST-FIT backfill (a linear pointer
+    # stalls on the first non-fitting short and leaves gaps unfilled)
+    BIN = 32
+    bins = {}
+    for li in pools[0]:
+        bins.setdefault(int(li) // BIN, []).append(int(li))
+
+    def take_fill(gap):
+        for b in range(gap // BIN, -1, -1):
+            lst = bins.get(b)
+            if lst and lst[-1] <= gap:
+                return lst.pop()
+        return None
+
     groups = []
-    prev = 0
-    for rl in row_lens:
-        sel = big[(big > prev) & (big <= rl)]
-        share = float(((sampled > prev) & (sampled <= rl)).mean())
-        groups.append((rl, sel, share))
-        prev = rl
+    for g in range(len(row_lens) - 1, 0, -1):
+        rl = row_lens[g]
+        mixed = []
+        for li in pools[g]:
+            mixed.append(int(li))
+            gap = rl - li
+            while True:
+                f = take_fill(gap)
+                if f is None:
+                    break
+                mixed.append(f)
+                gap -= f
+        groups.append((rl, np.asarray(mixed, np.int64)))
+    rest = [li for lst in bins.values() for li in lst]
+    groups.append((row_lens[0], np.asarray(rest, np.int64)))
+    groups = groups[::-1]
+    total_n = float(sum(len(sel) for _, sel in groups))
+    groups = [(rl, sel, len(sel) / total_n) for rl, sel in groups]
     print(f"# packed groups={row_lens} "
-          f"shares={[round(g[2], 3) for g in groups]} "
+          f"pair-shares={[round(g[2], 3) for g in groups]} "
           f"baseline(dyn-pad A100)={base:.1f} pairs/s", file=sys.stderr)
 
     rng = np.random.RandomState(9)
-    total_pairs = 0.0
-    total_time = 0.0
+    rates = []
     for rl, sel, share in groups:
         R = max(TOKENS // rl, 1) * max(n_chips, 1)
-        n_steps = max(int(round(steps * share / max(groups[-1][2], 1e-9)
-                                * (groups[-1][0] / rl))), 4)
-        p_slots = max(4, rl // 96)
+        # bounded per-group step count: the aggregate is share-weighted
+        # below, so groups need only enough steps for a stable rate (an
+        # unbounded share-proportional count once built a ~500-step xs
+        # stack whose host->device upload crashed the tunnel worker)
+        n_steps = int(np.clip(round(steps * share * 3), 8, 2 * steps))
+        p_slots = max(4, rl // 96)  # measured identical to rl//32
         need_tokens = int(n_steps * R * rl * 1.05)
         pool_lens = []
         tot = 0
@@ -310,10 +349,12 @@ def run_packed(module, state, n_chips: int) -> None:
               f"({dt/n_steps*1000:.0f} ms/step, "
               f"{pairs/dt/max(n_chips,1):.1f} pairs/s/chip)",
               file=sys.stderr)
-        total_pairs += pairs
-        total_time += dt
+        rates.append((share, pairs / dt))
 
-    per_chip = total_pairs / total_time / max(n_chips, 1)
+    # distribution-weighted rate: time to train the sampled length MIX is
+    # sum(share_g / rate_g) — independent of per-group step counts
+    share_sum = sum(sh for sh, _ in rates)
+    per_chip = share_sum / sum(sh / r for sh, r in rates) / max(n_chips, 1)
     print(json.dumps({
         "metric": ("aligned pairs/sec/chip (ESM2-650M hub, realistic "
                    "lengths, sequence-packed rows, bf16)"),
@@ -375,7 +416,8 @@ def main() -> None:
     if MODE == "packed":
         if os.environ.get("BENCH_KERNEL_CHECK", "1") == "1":
             kernel_numerics_check(
-                [(1024, 16 * max(n_chips, 1), None, None)])
+                [(384, 42, None, None), (768, 21, None, None),
+                 (1024, 16 * max(n_chips, 1), None, None)])
         run_packed(module, state, n_chips)
         return
 
