@@ -178,3 +178,58 @@ def test_trainer_packed_e2e(tmp_path):
     finally:
         esm2.ESM2_SIZES["esm2_t6_8M"] = orig
     assert np.isfinite(metrics.get("val/loss", np.nan))
+
+
+def test_packed_train_step_on_mesh():
+    """Packed train step under a multi-device data-parallel mesh: packed
+    rows shard over the data axis; losses finite and matching the
+    single-device step on the same global batch."""
+    from tests.helpers.tiny_models import build_tiny_module
+
+    from oneprot_tpu.core.mesh import make_mesh
+
+    rng = np.random.RandomState(6)
+    toks_seq = [_tokens(rng, n) for n in
+                (30, 40, 26, 50, 36, 44, 28, 38, 48, 32, 42, 34)]
+    toks_st = [_tokens(rng, n, lo=20, hi=50) for n in
+               (30, 40, 26, 50, 36, 44, 28, 38, 48, 32, 42, 34)]
+    L, P = 128, 4
+    seq_ids, seq_seg, valid, rows = pack_token_rows(toks_seq, L, P)
+    R = len(rows)
+    if R % 4:  # pad rows to a mesh-divisible count with empty rows
+        extra = 4 - R % 4
+        seq_ids = np.concatenate(
+            [seq_ids, np.full((extra, L), 1, np.int32)])
+        seq_seg = np.concatenate(
+            [seq_seg, np.full((extra, L), -1, np.int32)])
+        valid = np.concatenate([valid, np.zeros((extra, P), np.float32)])
+        rows += [[] for _ in range(extra)]
+        R += extra
+    st_ids = np.full((R, L), 1, np.int32)
+    st_seg = np.full((R, L), -1, np.int32)
+    for r, members in enumerate(rows):
+        off = 0
+        for s, idx in enumerate(members):
+            t = toks_st[idx]
+            st_ids[r, off:off + len(t)] = t
+            st_seg[r, off:off + len(t)] = s
+            off += len(t)
+
+    init_ids = np.full((2, 16), 1, np.int32)
+    init_ids[:, 0] = 0
+
+    import jax
+
+    losses = {}
+    for name, mesh in (("single", None),
+                       ("mesh", make_mesh(data=4, model=1,
+                                          devices=jax.devices()[:4]))):
+        module = build_tiny_module(mesh=mesh)
+        module.init({"struct_token": (init_ids, init_ids)})
+        state, loss = module.train_step_packed(
+            module.state, "struct_token",
+            {"ids": seq_ids, "segment_ids": seq_seg},
+            {"ids": st_ids, "segment_ids": st_seg}, valid)
+        losses[name] = float(loss)
+    assert np.isfinite(losses["single"]) and np.isfinite(losses["mesh"])
+    np.testing.assert_allclose(losses["mesh"], losses["single"], rtol=1e-5)
