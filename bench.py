@@ -273,6 +273,7 @@ def run_packed(module, state, n_chips: int) -> None:
 
     rng = np.random.RandomState(9)
     rates = []
+    cached_rates = []
     for rl, sel, share in groups:
         R = max(TOKENS // rl, 1) * max(n_chips, 1)
         # bounded per-group step count: the aggregate is share-weighted
@@ -351,10 +352,49 @@ def run_packed(module, state, n_chips: int) -> None:
               file=sys.stderr)
         rates.append((share, pairs / dt))
 
+        if os.environ.get("BENCH_CACHED", "1") == "1":
+            # steady state: cached hub pooled features + packed tower
+            pooled_fn = jax.jit(lambda p, ids_, seg_: jax.lax.map(
+                lambda x: module.model.apply(
+                    {"params": p}, x[0], x[1], p_slots, "sequence",
+                    method=type(module.model).encode_packed_pooled)[0],
+                (ids_, seg_)))
+            pooled_xs = pooled_fn(state.params, xs[0], xs[1])
+            cached_fn = module.train_step_packed_cached_fn(
+                "struct_token", p_slots)
+
+            def k_steps_cached(state, pooled_xs, mod_xs):
+                def body(st, x):
+                    st2, loss = cached_fn(st, x[0], x[1], x[2], x[3])
+                    return st2, loss
+
+                return jax.lax.scan(body, state,
+                                    (pooled_xs, mod_xs[0], mod_xs[1],
+                                     mod_xs[2]))
+
+            run_c = jax.jit(k_steps_cached, donate_argnums=0)
+            state, losses = run_c(state, pooled_xs, (xs[2], xs[3], xs[4]))
+            float(losses[-1])
+            t0 = time.time()
+            state, losses = run_c(state, pooled_xs, (xs[2], xs[3], xs[4]))
+            float(losses[-1])
+            dtc = time.time() - t0
+            print(f"# packed L={rl}: cached steady-state "
+                  f"{dtc/n_steps*1000:.0f} ms/step, "
+                  f"{pairs/dtc/max(n_chips,1):.1f} pairs/s/chip",
+                  file=sys.stderr)
+            cached_rates.append((share, pairs / dtc))
+
     # distribution-weighted rate: time to train the sampled length MIX is
     # sum(share_g / rate_g) — independent of per-group step counts
     share_sum = sum(sh for sh, _ in rates)
     per_chip = share_sum / sum(sh / r for sh, r in rates) / max(n_chips, 1)
+    if cached_rates:
+        cp = (sum(sh for sh, _ in cached_rates)
+              / sum(sh / r for sh, r in cached_rates) / max(n_chips, 1))
+        print(f"# packed steady-state (frozen-feature cache): "
+              f"{cp:.1f} pairs/s/chip ({cp/base:.2f}x baseline)",
+              file=sys.stderr)
     print(json.dumps({
         "metric": ("aligned pairs/sec/chip (ESM2-650M hub, realistic "
                    "lengths, sequence-packed rows, bf16)"),

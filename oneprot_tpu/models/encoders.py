@@ -93,12 +93,10 @@ class SequenceEncoder(nn.Module):
         return self.head.project(
             self.backbone_pooled(input_ids, deterministic=deterministic))
 
-    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
-                        num_segments: int):
-        """Sequence-packed forward: multiple proteins per row with
-        block-diagonal attention (in-kernel segment mask), pooled per
-        segment. Returns (features [B*P, out_dim], counts [B*P]) — rows
-        with count 0 are empty pack slots (mask them in the loss)."""
+    def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
+                      num_segments: int):
+        """Packed transformer -> per-segment pooled [B*P, d_model] (the
+        frozen-cacheable representation) + counts [B*P]."""
         from oneprot_tpu.models.heads import segment_mean_pool
 
         mask = ((input_ids != self.config.pad_token_id)
@@ -109,8 +107,17 @@ class SequenceEncoder(nn.Module):
         pooled, counts = segment_mean_pool(hidden, mask, segment_ids,
                                            num_segments)
         B, P, H = pooled.shape
-        return (self.head.project(pooled.reshape(B * P, H)),
-                counts.reshape(B * P))
+        return pooled.reshape(B * P, H), counts.reshape(B * P)
+
+    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
+                        num_segments: int):
+        """Sequence-packed forward: multiple proteins per row with
+        block-diagonal attention (in-kernel segment mask), pooled per
+        segment. Returns (features [B*P, out_dim], counts [B*P]) — rows
+        with count 0 are empty pack slots (mask them in the loss)."""
+        pooled, counts = self.packed_pooled(input_ids, segment_ids,
+                                            num_segments)
+        return self.head.project(pooled), counts
 
 
 class StructTokenEncoder(nn.Module):
@@ -144,10 +151,8 @@ class StructTokenEncoder(nn.Module):
         hidden = self.transformer(input_ids)
         return self.head(hidden, mask)
 
-    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
-                        num_segments: int):
-        """See SequenceEncoder.packed_features (this tower is trainable:
-        gradients flow through the segment-masked attention kernels)."""
+    def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
+                      num_segments: int):
         from oneprot_tpu.models.heads import segment_mean_pool
 
         mask = ((input_ids != self.config.pad_token_id)
@@ -156,8 +161,15 @@ class StructTokenEncoder(nn.Module):
         pooled, counts = segment_mean_pool(hidden, mask, segment_ids,
                                            num_segments)
         B, P, H = pooled.shape
-        return (self.head.project(pooled.reshape(B * P, H)),
-                counts.reshape(B * P))
+        return pooled.reshape(B * P, H), counts.reshape(B * P)
+
+    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
+                        num_segments: int):
+        """See SequenceEncoder.packed_features (this tower is trainable:
+        gradients flow through the segment-masked attention kernels)."""
+        pooled, counts = self.packed_pooled(input_ids, segment_ids,
+                                            num_segments)
+        return self.head.project(pooled), counts
 
 
 class TextEncoder(nn.Module):
@@ -324,6 +336,16 @@ class OneProtModel(nn.Module):
         if modality in ("sequence", "seqsim"):
             modality = "sequence"
         return self.encoders[modality].packed_features(
+            inputs, segment_ids, num_segments)
+
+    def encode_packed_pooled(self, inputs: Any, segment_ids: jax.Array,
+                             num_segments: int,
+                             modality: str = "sequence"):
+        """Packed frozen-cacheable representation: per-segment pooled
+        [B*P, d_model] + counts."""
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        return self.encoders[modality].packed_pooled(
             inputs, segment_ids, num_segments)
 
     def encode_pooled(self, inputs: Any,

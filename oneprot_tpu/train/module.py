@@ -465,6 +465,45 @@ class OneProtModule:
 
         return step_fn
 
+    def train_step_packed_cached_fn(self, modality: str, num_segments: int):
+        """Packed step in the frozen-feature-cache steady state: the hub's
+        pooled per-protein representations come from the cache (aligned to
+        pack slots, [R*P, d_model]); only the trainable MODALITY tower runs
+        packed. Combines the two big levers — packing and the cache."""
+        from oneprot_tpu.losses import clip_loss_masked
+
+        mask = self.mask
+        tx = self.tx
+
+        def step_fn(state: TrainState, seq_pooled, mod_ids, mod_seg, valid):
+            trainable, frozen = optim_lib.partition_params(state.params, mask)
+
+            def loss_fn(trainable_params):
+                params = optim_lib.merge_params(trainable_params, frozen)
+                seq_feats = self.model.apply(
+                    {"params": params}, seq_pooled, "sequence",
+                    method=OneProtModel.head_from_pooled)
+                mod_feats, _ = self.model.apply(
+                    {"params": params}, mod_ids, mod_seg, num_segments,
+                    modality, method=OneProtModel.encode_packed)
+                loss = clip_loss_masked(mod_feats, seq_feats, valid)
+                if self.use_l1_regularization:
+                    v = valid.astype(jnp.float32)[:, None]
+                    n = jnp.maximum(v.sum(), 1.0) * seq_feats.shape[-1]
+                    loss = loss + 0.01 * (
+                        jnp.sum(jnp.abs(seq_feats) * v) / n
+                        + jnp.sum(jnp.abs(mod_feats) * v) / n)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_params = optim_lib.merge_params(new_trainable, frozen)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=new_opt), loss
+
+        return step_fn
+
     def train_step_packed(self, state: TrainState, modality: str,
                           seq_pack, mod_pack, valid):
         """Jitted packed train step (sequence packing — see
