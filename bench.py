@@ -265,8 +265,12 @@ def run_packed(module, state, n_chips: int) -> None:
                 mixed.append(f)
                 gap -= f
         groups.append((rl, np.asarray(mixed, np.int64)))
-    rest = [li for lst in bins.values() for li in lst]
-    groups.append((row_lens[0], np.asarray(rest, np.int64)))
+    rest = np.asarray([li for lst in bins.values() for li in lst], np.int64)
+    # bins concatenate class-by-class: SHUFFLE so the measured subset is
+    # representative of the leftover distribution (unshuffled, the bench
+    # sampled mostly one size class and overstated the short group's rate)
+    rng0.shuffle(rest)
+    groups.append((row_lens[0], rest))
     groups = groups[::-1]
     total_n = float(sum(len(sel) for _, sel in groups))
     groups = [(rl, sel, len(sel) / total_n) for rl, sel in groups]
