@@ -51,7 +51,7 @@ HUB_PARAMS = 650e6
 TOWER_PARAMS = 35e6
 FIXED_BASELINE_PAIRS_PER_SEC = 30.0  # old fixed-L=1024 denominator
 
-# "packed" (sequence packing into backfilled length groups) measured 5.05x
+# "packed" (sequence packing into backfilled length groups) measured 4.85x
 # vs 4.13x for "buckets"; "fixed" reproduces the round-1 L=1024 bench
 MODE = os.environ.get("BENCH_MODE", "packed")
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
@@ -216,9 +216,10 @@ def run_packed(module, state, n_chips: int) -> None:
 
     from oneprot_tpu.data.packing import pack_token_rows
 
-    # {512,768,1024} measured 6.30x vs 5.06x for {384,768,1024}: after
-    # backfill consumes the large shorts, the leftover tiny proteins pack
-    # ~3-per-row into 512 rows (383.6 pairs/s for the 67% short mass)
+    # {512,768,1024}: after backfill consumes matching shorts, the
+    # leftover mix (mean ~280aa) packs into 512 rows at 0.96 fill
+    # (220 pairs/s for the 67% short-mass share; honest figures after the
+    # sampling-bias fix — docs/PERFORMANCE.md measurement honesty #7)
     row_lens = [int(x) for x in
                 os.environ.get("BENCH_PACK_ROWS", "512,768,1024").split(",")]
     steps = STEPS
