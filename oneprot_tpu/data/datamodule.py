@@ -83,15 +83,13 @@ class DataLoader:
                 self._lengths = False
         return self._lengths if self._lengths is not False else None
 
-    def _batches(self, epoch: int) -> Iterator[List[Any]]:
-        n = len(self.dataset)
-        order = np.arange(n)
+    def _order(self, epoch: int) -> np.ndarray:
+        """Shuffled (seeded, identical on every host), then per-process
+        interleaved-sharded item order — torch DistributedSampler
+        semantics; the reference gets this from Lightning DDP."""
+        order = np.arange(len(self.dataset))
         rng = np.random.RandomState(self.seed + epoch)
         if self.shuffle:
-            # same permutation on every host (seeded), then a per-process
-            # interleaved shard: on multi-host pods each process feeds its
-            # addressable chips distinct data (torch DistributedSampler
-            # semantics; the reference gets this from Lightning DDP)
             rng.shuffle(order)
         try:
             import jax
@@ -101,6 +99,11 @@ class DataLoader:
             nproc, rank = 1, 0
         if nproc > 1:
             order = order[rank::nproc]
+        return order
+
+    def _batches(self, epoch: int) -> Iterator[List[Any]]:
+        order = self._order(epoch)
+        rng = np.random.RandomState(self.seed + epoch)
 
         lengths = (self._item_lengths()
                    if (self.shuffle and self.group_by_length) else None)
@@ -122,27 +125,86 @@ class DataLoader:
                 continue
             yield [self.dataset[int(i)] for i in idxs]
 
+    def _packed_lockstep_cap(self, nproc: int) -> int:
+        """Pre-agreed per-process packed-batch count for multi-host runs.
+
+        Packed batch counts are data-dependent per process (each host packs
+        its own interleaved shard; fill varies with its sequence lengths),
+        but `make_array_from_process_local_data` needs every process in
+        lockstep — divergent counts hang the pod at epoch end (advisor
+        round-2 finding). All processes derive the SAME cap from global
+        dataset statistics (identical on every host: same dataset, no
+        communication needed): total tokens / (nproc * rows * row_len)
+        assumes full fill, i.e. it under-counts slightly, so most
+        processes truncate a tail batch or two and any process whose
+        packer runs dry first simply re-streams its shard (harmless
+        repeats for contrastive training, lockstep preserved).
+        """
+        lengths = self._item_lengths()
+        if lengths is not None:
+            total_tokens = float(np.sum(lengths)) + 2.0 * len(lengths)
+            cap = int(total_tokens // (nproc * self.pack_rows
+                                       * self.pack_row_len))
+        else:
+            # no length probe: assume every row holds a single item
+            cap = len(self.dataset) // (nproc * self.pack_rows)
+        return max(cap, 1)
+
     def _packed_iter(self, epoch: int):
         """Sequence-packed batches: stream the (shuffled, sharded) items
         through the first-fit packer — constant [rows, row_len] shapes, one
         jit compile, near-full fill. Yields the packed-batch protocol:
         ({ids, segment_ids}, {ids, segment_ids}, modality+':packed', valid).
+
+        Multi-host: every process yields EXACTLY `_packed_lockstep_cap`
+        batches per epoch (truncating or re-streaming its shard as
+        needed), so collective array construction never deadlocks on
+        divergent per-host packed-batch counts.
         """
         from oneprot_tpu.data.packing import pack_stream
 
         def items():
-            for batch_items in self._batches(epoch):
-                for it in batch_items:
-                    pair = self.dataset.tokenize_pair(it)
-                    if pair is not None:
-                        yield pair
+            # stream the shuffled/sharded order DIRECTLY — not via
+            # _batches(), whose batch_size + drop_last chunking is
+            # meaningless for packing (the packer has its own [rows,
+            # row_len] geometry) and silently dropped the whole epoch
+            # whenever the dataset was smaller than one batch
+            for i in self._order(epoch):
+                pair = self.dataset.tokenize_pair(self.dataset[int(i)])
+                if pair is not None:
+                    yield pair
+
+        def packed():
+            for p in pack_stream(items(), self.pack_row_len,
+                                 self.pack_rows, self.pack_slots):
+                yield ({"ids": p["ids_a"], "segment_ids": p["seg_a"]},
+                       {"ids": p["ids_b"], "segment_ids": p["seg_b"]},
+                       modality, p["valid"])
 
         modality = getattr(self.dataset, "modality", "struct_token")
-        for p in pack_stream(items(), self.pack_row_len, self.pack_rows,
-                             self.pack_slots):
-            yield ({"ids": p["ids_a"], "segment_ids": p["seg_a"]},
-                   {"ids": p["ids_b"], "segment_ids": p["seg_b"]},
-                   modality, p["valid"])
+        try:
+            import jax
+
+            nproc = jax.process_count()
+        except Exception:  # pragma: no cover
+            nproc = 1
+        if nproc <= 1:
+            yield from packed()
+            return
+        cap = self._packed_lockstep_cap(nproc)
+        produced = 0
+        while produced < cap:
+            got_any = False
+            for batch in packed():
+                got_any = True
+                yield batch
+                produced += 1
+                if produced >= cap:
+                    return
+            if not got_any:  # empty shard: cannot keep lockstep by cycling
+                raise RuntimeError(
+                    "packed loader produced no batches on this process; "
+                    "dataset too small for multi-host packing")
 
     def __iter__(self):
         # both the order RNG and the collate RNG key off the SAME epoch

@@ -82,11 +82,20 @@ def _chunk_count(HG: int, Lq: int, skip: bool) -> int:
 
     env = os.environ.get("ONEPROT_MHA_CHUNKS")
     if env:
-        # experimentation override: "L:C,L:C,..."
+        # experimentation override: "L:C,L:C,..."; malformed entries
+        # ("512", "512:0", "512:x") are skipped instead of raising
+        # ValueError/ZeroDivisionError inside jit tracing (advisor
+        # round-2 finding)
         for part in env.split(","):
-            l_s, c_s = part.split(":")
-            if int(l_s) == Lq and HG % int(c_s) == 0:
-                return int(c_s)
+            try:
+                l_s, c_s = part.split(":")
+                l_v, c_v = int(l_s), int(c_s)
+            except ValueError:
+                continue
+            if c_v <= 0:
+                continue
+            if l_v == Lq and HG % c_v == 0:
+                return c_v
         return 1
     # Measured on v5e (scripts/microbench_attn.py, hub geometry): C=2 at
     # L=512 is ~12% faster fwd (2.85 -> 2.52 ms/layer); C=5 at L=256 is

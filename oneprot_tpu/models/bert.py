@@ -174,8 +174,12 @@ class Bert(nn.Module):
                          name="emb_ln")(x)
 
         bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
-        # arg 2 (deterministic) is a python bool -> static under remat
-        layer_cls = (nn.remat(BertLayer, static_argnums=(2,))
+        # `deterministic` is a python bool -> static under remat. flax's
+        # nn.remat numbers the bound module as arg 0 (x=1, bias=2,
+        # deterministic=3); (2,) would mark `bias` static and leave
+        # `deterministic` traced, crashing nn.Dropout when lora_dropout>0
+        # (advisor round-2 finding, regression test in test_models.py)
+        layer_cls = (nn.remat(BertLayer, static_argnums=(3,))
                      if self.remat else BertLayer)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,

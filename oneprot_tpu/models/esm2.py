@@ -71,6 +71,10 @@ ESM2_SIZES = {
                                 intermediate_size=5120),
     "esm2_t36_3B": Esm2Config(hidden_size=2560, num_layers=36, num_heads=40,
                               intermediate_size=10240),
+    # not a published size: 2-layer toy for CI/smoke paths where even the
+    # 8M model's XLA compile dominates (tests/test_driver_entries.py)
+    "esm2_tiny": Esm2Config(hidden_size=64, num_layers=2, num_heads=4,
+                            intermediate_size=128),
 }
 
 
@@ -374,8 +378,12 @@ class Esm2(nn.Module):
 
         layer_cls = Esm2Layer
         if self.remat:
-            # arg 3 (deterministic) is a python bool -> static under remat
-            layer_cls = nn.remat(Esm2Layer, static_argnums=(3,))
+            # `deterministic` is a python bool -> static under remat. flax
+            # numbers the bound module as arg 0 (x=1, bias=2, lens=3,
+            # deterministic=4); (3,) would mark `lens` static and leave
+            # `deterministic` traced, crashing nn.Dropout when
+            # lora_dropout>0 (advisor round-2 finding)
+            layer_cls = nn.remat(Esm2Layer, static_argnums=(4,))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
                           self.lora_dropout,

@@ -177,9 +177,14 @@ def segment_mean_pool(features: jax.Array, token_mask: jax.Array,
     """
     seg = segment_ids[:, :, None]
     slots = jnp.arange(num_segments)[None, None, :]
-    onehot = ((seg == slots) & (token_mask[:, :, None] > 0)).astype(
-        features.dtype)                                  # [B, L, P]
-    counts = onehot.sum(axis=1)                          # [B, P]
+    hot = (seg == slots) & (token_mask[:, :, None] > 0)  # [B, L, P]
+    # counts MUST accumulate in f32: under bf16 training a bf16 sum rounds
+    # integers above 256 (8-bit mantissa), skewing the mean divisor for
+    # long segments by up to ~0.4% (advisor round-2 finding). The 0/1
+    # one-hot itself is exact in bf16, so the MXU contraction keeps the
+    # compute dtype.
+    onehot = hot.astype(features.dtype)
+    counts = hot.astype(jnp.float32).sum(axis=1)         # [B, P]
     pooled = jnp.einsum("blp,blh->bph", onehot, features,
                         preferred_element_type=jnp.float32)
     pooled = pooled / jnp.maximum(counts[..., None], 1.0)

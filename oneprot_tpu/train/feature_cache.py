@@ -11,21 +11,27 @@ its first computation; subsequent epochs train through the head only
 (tests/test_feature_cache.py).
 
 Keying: the raw bytes of the tokenized id row — exact, collision-free, and
-independent of dataset indices (works across shuffles and loaders).
+independent of dataset indices (works across shuffles and loaders). PACKED
+batches key each protein by its token SUBSEQUENCE bytes instead, so entries
+hit across epochs even though the packer re-arranges rows every epoch.
+
 Memory: entries * d_model * 4 bytes (650M hub: 1M samples -> ~5 GB host
-RAM); cap with max_entries (LRU-free: once full, misses just recompute).
+RAM); cap with max_entries. Eviction is LRU (round-2's insert-stop policy
+permanently pinned whichever rows arrived first and recomputed everything
+else forever — the worst case when the cap binds; advisor/VERDICT r2 #8).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from collections import OrderedDict
+from typing import Optional
 
 import numpy as np
 
 
 class FrozenFeatureCache:
     def __init__(self, max_entries: Optional[int] = None):
-        self._store: Dict[bytes, np.ndarray] = {}
+        self._store: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
         self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
@@ -33,6 +39,33 @@ class FrozenFeatureCache:
     def __len__(self) -> int:
         return len(self._store)
 
+    def stats(self) -> dict:
+        """hit/miss/occupancy snapshot for validation-point logging."""
+        total = self.hits + self.misses
+        return {
+            "cache/hits": float(self.hits),
+            "cache/misses": float(self.misses),
+            "cache/hit_rate": (self.hits / total) if total else 0.0,
+            "cache/entries": float(len(self._store)),
+        }
+
+    # -- LRU primitives -------------------------------------------------
+    def _lookup(self, key: bytes) -> Optional[np.ndarray]:
+        row = self._store.get(key)
+        if row is not None:
+            self._store.move_to_end(key)
+        return row
+
+    def _insert(self, key: bytes, row: np.ndarray) -> None:
+        if key in self._store:
+            self._store.move_to_end(key)
+            return
+        if (self.max_entries is not None
+                and len(self._store) >= self.max_entries):
+            self._store.popitem(last=False)  # evict least-recently-used
+        self._store[key] = row
+
+    # -- unpacked batches ----------------------------------------------
     def get_pooled(self, module, seq_inputs,
                    modality: str = "sequence") -> np.ndarray:
         """Pooled backbone representations for a batch, cached where known.
@@ -46,16 +79,59 @@ class FrozenFeatureCache:
         ns = modality.encode() + b"|"
         seq_np = np.ascontiguousarray(np.asarray(seq_inputs))
         keys = [ns + row.tobytes() for row in seq_np]
-        if all(k in self._store for k in keys):
+        rows = [self._lookup(k) for k in keys]
+        if all(r is not None for r in rows):
             self.hits += len(keys)
-            return np.stack([self._store[k] for k in keys])
+            return np.stack(rows)
         self.misses += len(keys)
         pooled = np.asarray(
             module.encode_pooled(module.state.params, modality, seq_np))
-        if self.max_entries is None or len(self._store) < self.max_entries:
-            for k, row in zip(keys, pooled):
-                self._store[k] = row
-                if (self.max_entries is not None
-                        and len(self._store) >= self.max_entries):
-                    break
+        for k, row in zip(keys, pooled):
+            self._insert(k, row)
+        return pooled
+
+    # -- packed batches -------------------------------------------------
+    def get_pooled_packed(self, module, ids, segment_ids, valid,
+                          modality: str = "sequence") -> np.ndarray:
+        """Per-protein pooled representations for a PACKED batch.
+
+        ids/segment_ids [R, L], valid [R, P] -> pooled [R*P, d_model],
+        slot-aligned with the packed modality tower (train/module.py
+        train_step_packed_cached_fn). Each protein keys on its token
+        subsequence bytes, so hits survive epoch-to-epoch re-packing.
+        Empty slots receive segment_mean_pool's deterministic filler
+        vector (models/heads.py) so cached and uncached packed steps are
+        numerically identical; their features are masked out of the loss.
+        """
+        if modality in ("sequence", "seqsim"):
+            modality = "sequence"
+        ns = b"packed|" + modality.encode() + b"|"
+        ids_np = np.ascontiguousarray(np.asarray(ids))
+        seg_np = np.asarray(segment_ids)
+        valid_np = np.asarray(valid)
+        R = ids_np.shape[0]
+        P = valid_np.shape[1]
+        keys: list = [None] * (R * P)
+        for r in range(R):
+            seg_r = seg_np[r]
+            for s in range(P):
+                if valid_np[r, s] > 0:
+                    keys[r * P + s] = ns + ids_np[r][seg_r == s].tobytes()
+        n_valid = sum(1 for k in keys if k is not None)
+        rows = [None if k is None else self._lookup(k) for k in keys]
+        if all(r is not None for k, r in zip(keys, rows) if k is not None):
+            self.hits += n_valid
+            d = next(r for r in rows if r is not None).shape[-1]
+            filler = np.asarray(
+                (np.arange(d, dtype=np.float32) / d - 0.5), np.float32)
+            out = np.stack([filler if r is None else
+                            np.asarray(r, np.float32) for r in rows])
+            return out
+        self.misses += n_valid
+        p_slots = P
+        pooled = np.asarray(module.encode_packed_pooled(
+            module.state.params, modality, ids_np, seg_np, p_slots))
+        for k, row in zip(keys, pooled):
+            if k is not None:
+                self._insert(k, row)
         return pooled

@@ -370,6 +370,20 @@ class OneProtModule:
                     method=OneProtModel.encode_pooled))
         return self._eval_step_cache[key](params, jnp.asarray(inputs))
 
+    def encode_packed_pooled(self, params, modality: str, ids, segment_ids,
+                             num_segments: int) -> jax.Array:
+        """Jitted frozen-backbone forward over a PACKED batch:
+        segment-masked transformer -> per-protein pooled [R*P, d] (the
+        frozen-cacheable representation; feature_cache.get_pooled_packed)."""
+        key = ("packed_pooled", modality, num_segments)
+        if key not in self._eval_step_cache:
+            self._eval_step_cache[key] = jax.jit(
+                lambda p, i, s: self.model.apply(
+                    {"params": p}, i, s, num_segments, modality,
+                    method=OneProtModel.encode_packed_pooled)[0])
+        return self._eval_step_cache[key](
+            params, jnp.asarray(ids), jnp.asarray(segment_ids))
+
     def train_step_cached_fn(self, modality: str):
         """Raw (un-jitted) cached train step (see train_step_fn)."""
         mask = self.mask
@@ -531,6 +545,38 @@ class OneProtModule:
         (valid_flat,), _ = self._shard_batch((valid.reshape(-1),), ())
         return self._train_step_cache[key](
             state, seq_in[0], seq_in[1], mod_in[0], mod_in[1], valid_flat)
+
+    def train_step_packed_cached(self, state: TrainState, modality: str,
+                                 seq_pooled, mod_pack, valid):
+        """Jitted packed+cached train step: cached hub pooled features
+        (slot-aligned [R*P, d] from feature_cache.get_pooled_packed) +
+        the trainable modality tower running packed. The production
+        steady state from epoch 2 (VERDICT r2 #2): combines the packing
+        win (no padding) with the cache win (no frozen-hub forward)."""
+        valid = np.asarray(valid)
+        p_slots = valid.shape[1]
+        key = ("packed_cached", modality, p_slots)
+        if key not in self._train_step_cache:
+            step_fn = self.train_step_packed_cached_fn(modality, p_slots)
+            donate = (0,)
+            if self.mesh is not None:
+                from oneprot_tpu.core.partitioning import state_shardings
+
+                self._train_step_cache[key] = jax.jit(
+                    step_fn, donate_argnums=donate,
+                    out_shardings=(state_shardings(self.state),
+                                   NamedSharding(self.mesh, P())))
+            else:
+                self._train_step_cache[key] = jax.jit(
+                    step_fn, donate_argnums=donate)
+        # seq_pooled is [R*P, d] and the modality side [R, L]: sharding
+        # both on the leading axis keeps row r's P slots on the same data
+        # shard as row r's tokens
+        seq_in, mod_in = self._shard_batch(
+            (seq_pooled,), (mod_pack["ids"], mod_pack["segment_ids"]))
+        (valid_flat,), _ = self._shard_batch((valid.reshape(-1),), ())
+        return self._train_step_cache[key](
+            state, seq_in[0], mod_in[0], mod_in[1], valid_flat)
 
     def train_step_fully_cached_fn(self, modality: str):
         """Raw step where BOTH towers' backbones are cached (frozen hub +

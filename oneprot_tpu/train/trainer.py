@@ -204,9 +204,29 @@ class Trainer:
                             # sequence-packed batch (data.pack_sequences):
                             # both towers run segment-masked attention;
                             # `extra` carries the [rows, slots] validity
-                            module.state, loss = module.train_step_packed(
-                                module.state, modality, seq_in, mod_in,
-                                extra)
+                            if (self.cache_frozen_features
+                                    and module.hub_is_cacheable()):
+                                # steady state: cached per-protein hub
+                                # features (keyed by token subsequence, so
+                                # hits survive epoch re-packing) + packed
+                                # trainable tower only
+                                if self._feature_cache is None:
+                                    from oneprot_tpu.train.feature_cache \
+                                        import FrozenFeatureCache
+
+                                    self._feature_cache = FrozenFeatureCache(
+                                        self.cache_max_entries)
+                                pooled = self._feature_cache.get_pooled_packed(
+                                    module, seq_in["ids"],
+                                    seq_in["segment_ids"], extra)
+                                module.state, loss = (
+                                    module.train_step_packed_cached(
+                                        module.state, modality, pooled,
+                                        mod_in, extra))
+                            else:
+                                module.state, loss = module.train_step_packed(
+                                    module.state, modality, seq_in, mod_in,
+                                    extra)
                         elif (self.cache_frozen_features
                                 and module.hub_is_cacheable()):
                             # frozen backbones: skip their forwards for
@@ -288,6 +308,10 @@ class Trainer:
         finally:
             if self.profiler == "jax":
                 jax.profiler.stop_trace()
+        # expose the realized optimizer-step count: a silently-empty train
+        # loop (e.g. loader misconfiguration) must be visible to callers
+        # and tests, not just a log warning
+        self.metrics_history["train/steps"] = float(self.global_step)
         return self.metrics_history
 
     # ------------------------------------------------------------------
@@ -297,6 +321,9 @@ class Trainer:
         if "val/loss" in metrics:
             val_loss_best.update(metrics["val/loss"])
             metrics["val/loss_best"] = val_loss_best.compute()
+        if self._feature_cache is not None:
+            # hit/miss/occupancy at every validation point (VERDICT r2 #8)
+            metrics.update(self._feature_cache.stats())
         self.logger.log_metrics(metrics, self.global_step)
         self.metrics_history.update(metrics)
         if "checkpoint" in self.callbacks:

@@ -213,3 +213,137 @@ def test_int8_hub_preserves_retrieval_quality():
     for k in ("seq_to_mod_R@1", "mod_to_seq_R@1"):
         assert r_q[k] == r_f[k], (
             f"{k}: int8={r_q[k]} float={r_f[k]} — R@1 changed")
+
+
+def _packed_batches(n_batches=3, rows=2, row_len=64, slots=4, seed=0):
+    from oneprot_tpu.data.packing import pack_token_rows
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for b in range(n_batches):
+        toks_a, toks_b = [], []
+        for _ in range(5):
+            li = int(rng.randint(8, 30))
+            ta = rng.randint(4, 24, size=li).astype(np.int32)
+            ta[0], ta[-1] = 0, 2
+            tb = rng.randint(4, 24, size=li).astype(np.int32)
+            tb[0], tb[-1] = 0, 2
+            toks_a.append(ta)
+            toks_b.append(tb)
+        ids_a, seg_a, valid, members = pack_token_rows(toks_a, row_len, slots)
+        ids_a, seg_a = ids_a[:rows], seg_a[:rows]
+        valid = valid[:rows]
+        ids_b = np.full_like(ids_a, 1)
+        for r, mem in enumerate(members[:rows]):
+            off = 0
+            for s, idx in enumerate(mem):
+                t = toks_b[idx]
+                ids_b[r, off:off + len(t)] = t
+                off += len(t)
+        out.append((ids_a, seg_a, ids_b, seg_a.copy(), valid))
+    return out
+
+
+def test_packed_cached_training_matches_uncached():
+    """VERDICT r2 #2: packing and the frozen-feature cache must COMPOSE.
+    The packed+cached step (cached per-protein hub features keyed by token
+    subsequence + packed trainable tower) must reproduce the packed
+    uncached step's losses and parameters, with epoch-2 hits."""
+    batches = _packed_batches()
+    slots = batches[0][4].shape[1]
+
+    plain = _build()
+    plain.init({"struct_token": (tiny_ids(24, 0), tiny_ids(54, 1))})
+    s1 = plain.state
+    losses_plain = []
+    for ids_a, seg_a, ids_b, seg_b, valid in batches * 2:
+        s1, loss = plain.train_step_packed(
+            s1, "struct_token", {"ids": ids_a, "segment_ids": seg_a},
+            {"ids": ids_b, "segment_ids": seg_b}, valid)
+        losses_plain.append(float(loss))
+
+    cached = _build()
+    cached.init({"struct_token": (tiny_ids(24, 0), tiny_ids(54, 1))})
+    s2 = cached.state
+    cache = FrozenFeatureCache()
+    losses_cached = []
+    for ids_a, seg_a, ids_b, seg_b, valid in batches * 2:
+        cached.state = s2
+        pooled = cache.get_pooled_packed(cached, ids_a, seg_a, valid)
+        s2, loss = cached.train_step_packed_cached(
+            s2, "struct_token", pooled,
+            {"ids": ids_b, "segment_ids": seg_b}, valid)
+        losses_cached.append(float(loss))
+
+    np.testing.assert_allclose(losses_cached, losses_plain, rtol=2e-5,
+                               atol=1e-6)
+    # epoch 2 served entirely from cache (keys = token subsequences)
+    n_pairs = int(sum(b[4].sum() for b in batches))
+    assert cache.hits == n_pairs
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+class _StubModule:
+    """Counts backbone forwards; returns row-sum features."""
+
+    class _S:
+        params = None
+
+    state = _S()
+
+    def __init__(self):
+        self.forwards = 0
+
+    def encode_pooled(self, params, modality, x):
+        self.forwards += 1
+        return np.asarray(x, np.float32).sum(-1, keepdims=True) * np.ones((1, 4))
+
+
+def test_lru_eviction_beats_insert_stop_on_skewed_access():
+    """VERDICT r2 #8: with max_entries < unique rows, insert-stop pinned
+    whichever rows arrived FIRST forever. Under skewed access (hot rows
+    arriving after the pin fills — e.g. the val pool revisited every
+    validation) LRU retains the hot set; insert-stop never does."""
+    rng = np.random.RandomState(0)
+    cold = [rng.randint(4, 24, size=(1, 16)).astype(np.int32)
+            for _ in range(12)]
+    hot = [rng.randint(4, 24, size=(1, 16)).astype(np.int32)
+           for _ in range(4)]
+
+    def epoch_stream():
+        # cold rows first (they grab insert-stop's pins), then hot rows
+        # repeatedly
+        for x in cold:
+            yield x
+        for _ in range(5):
+            for x in hot:
+                yield x
+
+    def run_lru():
+        cache = FrozenFeatureCache(max_entries=8)
+        mod = _StubModule()
+        for ep in range(3):
+            for x in epoch_stream():
+                cache.get_pooled(mod, x)
+            if ep == 1:
+                cache.hits = cache.misses = 0  # measure epoch 3 only
+        return cache.hits / (cache.hits + cache.misses)
+
+    def run_insert_stop():
+        store, hits, misses = {}, 0, 0
+        for ep in range(3):
+            if ep == 2:
+                hits = misses = 0
+            for x in epoch_stream():
+                k = x.tobytes()
+                if k in store:
+                    hits += 1
+                else:
+                    misses += 1
+                    if len(store) < 8:
+                        store[k] = 1
+        return hits / (hits + misses)
+
+    assert run_lru() > run_insert_stop()
