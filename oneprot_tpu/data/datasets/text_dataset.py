@@ -60,6 +60,21 @@ class TextDataset(BaseDataset):
                 out[i] = 2
         return np.minimum(out, self.max_length)
 
+    def tokenize_pair(self, seq_id: str):
+        """Unpadded token pair for SEQUENCE PACKING (data/packing.py):
+        (seq tokens, text tokens) incl. specials, or None for missing ids.
+        Exposing this enables the packed loader for seq<->text; the text
+        side runs the segment-masked BERT path (models/bert.py)."""
+        h5 = H5.get(self.h5_file)
+        if seq_id not in h5:
+            return None
+        seq = h5[seq_id]["structure"]["0"]["A"]["residues"]["seq1"][()]
+        text = str(self.df[1].iloc[self._index[seq_id]])
+        return (np.asarray(self.seq_tok.encode_ids(
+                    seq.decode("utf-8"), self.max_length), np.int32),
+                np.asarray(self.text_tok.encode_ids(
+                    text, self.text_max_length), np.int32))
+
     def collate_fn(self, seq_ids: List[str],
                    rng: Optional[np.random.RandomState] = None):
         h5 = H5.get(self.h5_file)

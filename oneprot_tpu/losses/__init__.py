@@ -1,5 +1,5 @@
 from oneprot_tpu.losses.clip import clip_loss, clip_loss_masked  # noqa: F401
-from oneprot_tpu.losses.siglip import siglip_loss  # noqa: F401
+from oneprot_tpu.losses.siglip import siglip_loss, siglip_loss_masked  # noqa: F401
 
 
 def get_loss_fn(name: str):

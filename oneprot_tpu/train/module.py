@@ -276,6 +276,47 @@ class OneProtModule:
             )(mod_feats, seq_feats)
         return siglip_loss(mod_feats, seq_feats)
 
+    def _packed_loss_value(self, mod_feats, seq_feats, valid):
+        """Loss over a PACKED batch ([R*P, d] features with empty pack
+        slots flagged by `valid`): CLIP -> clip_loss_masked, SIGLIP ->
+        siglip_loss_masked (VERDICT r2 #3), + the masked L1 regularizer
+        (reference oneprot_module.py:99-101 restricted to real pairs)."""
+        from oneprot_tpu.losses import clip_loss_masked
+
+        if self.loss_name.upper() == "CLIP":
+            loss = clip_loss_masked(mod_feats, seq_feats, valid)
+        else:
+            loss = self._siglip_value_masked(mod_feats, seq_feats, valid)
+        if self.use_l1_regularization:
+            v = valid.astype(jnp.float32)[:, None]
+            n = jnp.maximum(v.sum(), 1.0) * seq_feats.shape[-1]
+            loss = loss + 0.01 * (
+                jnp.sum(jnp.abs(seq_feats) * v) / n
+                + jnp.sum(jnp.abs(mod_feats) * v) / n)
+        return loss
+
+    def _siglip_value_masked(self, mod_feats, seq_feats, valid):
+        """Masked SigLIP through the same production comm path as
+        _siglip_value: the ppermute negative ring runs inside shard_map
+        over the data axis, carrying each shard's valid-slot mask with its
+        features."""
+        from oneprot_tpu.losses import siglip_loss_masked
+
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh is not None else 1
+        if dp > 1 and mod_feats.shape[0] % dp == 0:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(mesh_lib.DATA_AXIS, None)
+            return shard_map(
+                lambda m, s, v: siglip_loss_masked(
+                    m, s, v, axis_name=mesh_lib.DATA_AXIS),
+                mesh=self.mesh,
+                in_specs=(spec, spec, P(mesh_lib.DATA_AXIS)),
+                out_specs=P(), check_vma=False,
+            )(mod_feats, seq_feats, valid)
+        return siglip_loss_masked(mod_feats, seq_feats, valid)
+
     def _forward_pair(self, params, modality, seq_inputs, mod_inputs,
                       rngs=None, deterministic=True):
         seq_feats = self.model.apply(
@@ -442,10 +483,10 @@ class OneProtModule:
         data/packing.py): both towers run segment-masked attention over
         rows holding several proteins each, pool per segment, and the CLIP
         loss runs over the unpacked per-protein features with empty pack
-        slots masked (losses/clip.py clip_loss_masked). Token encoders
-        only (sequence/seqsim <-> struct_token/text)."""
-        from oneprot_tpu.losses import clip_loss_masked
-
+        slots masked (clip_loss_masked / siglip_loss_masked per the
+        configured loss). Token encoders only (sequence/seqsim <->
+        struct_token/text; the text tower packs with per-segment absolute
+        positions + segment CLS pooling, models/bert.py)."""
         mask = self.mask
         tx = self.tx
 
@@ -461,14 +502,7 @@ class OneProtModule:
                 mod_feats, _ = self.model.apply(
                     {"params": params}, mod_ids, mod_seg, num_segments,
                     modality, method=OneProtModel.encode_packed)
-                loss = clip_loss_masked(mod_feats, seq_feats, valid)
-                if self.use_l1_regularization:
-                    v = valid.astype(jnp.float32)[:, None]
-                    n = jnp.maximum(v.sum(), 1.0) * seq_feats.shape[-1]
-                    loss = loss + 0.01 * (
-                        jnp.sum(jnp.abs(seq_feats) * v) / n
-                        + jnp.sum(jnp.abs(mod_feats) * v) / n)
-                return loss
+                return self._packed_loss_value(mod_feats, seq_feats, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
             updates, new_opt = tx.update(grads, state.opt_state, trainable)
@@ -484,8 +518,6 @@ class OneProtModule:
         pooled per-protein representations come from the cache (aligned to
         pack slots, [R*P, d_model]); only the trainable MODALITY tower runs
         packed. Combines the two big levers — packing and the cache."""
-        from oneprot_tpu.losses import clip_loss_masked
-
         mask = self.mask
         tx = self.tx
 
@@ -500,14 +532,7 @@ class OneProtModule:
                 mod_feats, _ = self.model.apply(
                     {"params": params}, mod_ids, mod_seg, num_segments,
                     modality, method=OneProtModel.encode_packed)
-                loss = clip_loss_masked(mod_feats, seq_feats, valid)
-                if self.use_l1_regularization:
-                    v = valid.astype(jnp.float32)[:, None]
-                    n = jnp.maximum(v.sum(), 1.0) * seq_feats.shape[-1]
-                    loss = loss + 0.01 * (
-                        jnp.sum(jnp.abs(seq_feats) * v) / n
-                        + jnp.sum(jnp.abs(mod_feats) * v) / n)
-                return loss
+                return self._packed_loss_value(mod_feats, seq_feats, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
             updates, new_opt = tx.update(grads, state.opt_state, trainable)

@@ -313,3 +313,190 @@ def test_segment_mean_pool_counts_exact_in_bf16():
     assert float(counts2[0, 1]) == 212.0
     np.testing.assert_allclose(
         np.asarray(pooled2, np.float32)[0, :, 0], 1.0, rtol=1e-2)
+
+
+def test_packed_text_encoder_matches_unpacked():
+    """Two texts packed into one row == each alone in its own row, through
+    the full TEXT tower (BERT + per-segment ABSOLUTE positions + segment
+    CLS pooling + head). BERT's learned positions are not shift-invariant,
+    so this asserts the per-segment position restart (VERDICT r2 #3)."""
+    from oneprot_tpu.models.bert import BertConfig
+    from oneprot_tpu.models.encoders import TextEncoder
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                     num_heads=2, intermediate_size=64,
+                     max_position_embeddings=128)
+    enc = TextEncoder(config=cfg, output_dim=16, pooling_type="cls",
+                      proj_type="mlp", use_logit_scale=False, frozen=False)
+    rng = np.random.RandomState(5)
+    # BERT-style: [CLS]=2 ... [SEP]=3, pad=0
+    def text_tokens(n):
+        t = rng.randint(5, 60, size=n).astype(np.int32)
+        t[0], t[-1] = 2, 3
+        return t
+
+    toks = [text_tokens(40), text_tokens(56)]
+    L = 128
+    ids, seg, valid, rows = pack_token_rows(toks, row_len=L, max_per_row=2,
+                                            pad_id=0)
+    assert ids.shape[0] == 1 and len(rows[0]) == 2
+
+    params = enc.init({"params": jax.random.key(0)},
+                      jnp.asarray(ids))["params"]
+    packed, counts = enc.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(seg), 2,
+        method=TextEncoder.packed_features)
+    packed = np.asarray(packed)
+    assert np.asarray(counts).tolist() == [len(toks[rows[0][0]]),
+                                           len(toks[rows[0][1]])]
+
+    for s, idx in enumerate(rows[0]):
+        row = np.zeros((1, L), np.int32)  # BERT pad id 0
+        row[0, :len(toks[idx])] = toks[idx]
+        want = np.asarray(enc.apply({"params": params}, jnp.asarray(row)))
+        np.testing.assert_allclose(packed[s], want[0], rtol=2e-4, atol=1e-5,
+                                   err_msg=f"slot {s} != solo run")
+
+
+def test_siglip_loss_masked_matches_unmasked_when_full():
+    from oneprot_tpu.losses import siglip_loss, siglip_loss_masked
+
+    rng = np.random.RandomState(6)
+    f = rng.randn(6, 8).astype(np.float32)
+    g = rng.randn(6, 8).astype(np.float32)
+    full = float(siglip_loss(jnp.asarray(f), jnp.asarray(g),
+                             logit_scale=10.0))
+    masked = float(siglip_loss_masked(jnp.asarray(f), jnp.asarray(g),
+                                      jnp.ones(6), logit_scale=10.0))
+    np.testing.assert_allclose(masked, full, rtol=1e-6)
+
+    # empty pack slots (any feature values) must not change the loss
+    f2 = np.concatenate([f, rng.randn(2, 8).astype(np.float32)])
+    g2 = np.concatenate([g, rng.randn(2, 8).astype(np.float32)])
+    valid = np.array([1] * 6 + [0] * 2, np.float32)
+    padded = float(siglip_loss_masked(jnp.asarray(f2), jnp.asarray(g2),
+                                      jnp.asarray(valid), logit_scale=10.0))
+    np.testing.assert_allclose(padded, full, rtol=1e-6)
+
+
+def test_siglip_loss_masked_ring_matches_dense():
+    """The masked ppermute ring over 4 shards (empty slots on each shard)
+    == the dense masked loss over the concatenated batch, up to the
+    reference's per-rank /b normalization (each rank divides by ITS valid
+    count; equal fill -> identical). Mirrors loss.py:260-309 semantics."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.sharding import Mesh
+
+    from oneprot_tpu.losses import siglip_loss_masked
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 devices (virtual CPU mesh)")
+    rng = np.random.RandomState(7)
+    world, per, d = 4, 4, 8
+    f = rng.randn(world * per, d).astype(np.float32)
+    g = rng.randn(world * per, d).astype(np.float32)
+    # same number of valid slots per shard so per-rank normalization
+    # matches the dense /sum(valid) exactly
+    valid = np.tile(np.array([1, 1, 1, 0], np.float32), world)
+
+    dense = float(siglip_loss_masked(jnp.asarray(f), jnp.asarray(g),
+                                     jnp.asarray(valid), logit_scale=5.0))
+
+    mesh = Mesh(np.array(jax.devices()[:world]), ("dp",))
+    ringed = jax.jit(jax.shard_map(
+        partial(siglip_loss_masked, logit_scale=5.0, axis_name="dp"),
+        mesh=mesh, in_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=P(), check_vma=False,
+    ))(jnp.asarray(f), jnp.asarray(g), jnp.asarray(valid))
+    # dense normalizes by total valid (12), ring by per-rank valid (3)
+    # then pmean over 4 ranks: identical when fill is uniform
+    np.testing.assert_allclose(float(ringed), dense, rtol=1e-5)
+
+
+def test_packed_train_step_siglip_learns():
+    from tests.helpers.tiny_models import build_tiny_module
+
+    module = build_tiny_module(mesh=None, loss_fn="SIGLIP")
+    rng = np.random.RandomState(8)
+    toks_seq = [_tokens(rng, n) for n in (30, 40, 26, 50)]
+    toks_st = [_tokens(rng, n, lo=20, hi=50) for n in (30, 40, 26, 50)]
+    L, P = 128, 4
+    seq_ids, seq_seg, valid, rows = pack_token_rows(toks_seq, L, P)
+    st_lists = [[toks_st[i] for i in r] for r in rows]
+    R = len(rows)
+    st_ids = np.full((R, L), 1, np.int32)
+    st_seg = np.full((R, L), -1, np.int32)
+    for r, members in enumerate(st_lists):
+        off = 0
+        for s, t in enumerate(members):
+            st_ids[r, off:off + len(t)] = t
+            st_seg[r, off:off + len(t)] = s
+            off += len(t)
+
+    init_ids = np.full((2, 16), 1, np.int32)
+    init_ids[:, 0] = 0
+    module.init({"struct_token": (init_ids, init_ids)})
+    step = jax.jit(module.train_step_packed_fn("struct_token", P))
+    state = module.state
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, jnp.asarray(seq_ids), jnp.asarray(seq_seg),
+                           jnp.asarray(st_ids), jnp.asarray(st_seg),
+                           jnp.asarray(valid.reshape(-1)))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_trainer_packed_text_e2e(tmp_path):
+    """Packed seq<->text through the production train loop: the text
+    dataset's tokenize_pair engages the packed loader, the BERT tower
+    runs segment-masked with per-segment positions, and the cache
+    composes on the hub side (VERDICT r2 #3 end-to-end)."""
+    import os
+
+    from oneprot_tpu.core.config import load_config, prepare_run_dir
+    from oneprot_tpu.data.synthetic import generate_fixtures
+    from oneprot_tpu.models import esm2
+
+    data_dir = str(tmp_path / "fixtures")
+    generate_fixtures(data_dir, n_train=12, n_eval=4, seed=0)
+    orig = esm2.ESM2_SIZES["esm2_t6_8M"]
+    esm2.ESM2_SIZES["esm2_t6_8M"] = esm2.Esm2Config(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64)
+    try:
+        import train as train_entry
+
+        cfg = load_config(
+            os.path.join(os.path.dirname(__file__), "..", "configs"),
+            "train",
+            overrides=[
+                "experiment=seq_text",
+                f"paths.data_dir={data_dir}",
+                "model.components.sequence.model_name_or_path="
+                "facebook/esm2_t6_8M_UR50D",
+                "model.components.sequence.output_dim=32",
+                "model.components.text.model_name_or_path=bert_tiny",
+                "trainer=cpu",
+                "data.pack_sequences=true",
+                "data.pack_rows=2",
+                "data.pack_row_len=128",
+                "data.pack_slots=4",
+                "trainer.limit_train_batches=3",
+                "trainer.limit_val_batches=1",
+                "trainer.max_epochs=2",
+                "model.components.sequence.frozen=true",
+                "trainer.cache_frozen_features=true",
+                "test=False",
+            ])
+        cfg = prepare_run_dir(cfg, output_dir=str(tmp_path / "run"))
+        metrics = train_entry.train(cfg)
+    finally:
+        esm2.ESM2_SIZES["esm2_t6_8M"] = orig
+    assert np.isfinite(metrics.get("val/loss", np.nan))
+    assert metrics.get("train/steps", 0) > 0
+    assert metrics.get("cache/hits", 0) > 0
