@@ -70,20 +70,37 @@ def _divisible(shape, spec: P, mesh: Mesh) -> bool:
     return True
 
 
+def _placement_spec(path, x, mesh: Mesh) -> P:
+    if mesh.shape.get(MODEL_AXIS, 1) > 1 and hasattr(x, "shape"):
+        spec = param_pspec(_path_names(path), getattr(x, "ndim", 0))
+        if spec != P() and not _divisible(x.shape, spec, mesh):
+            spec = P()
+        return spec
+    return P()
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """device_put every param with its rule's NamedSharding."""
-    tp = mesh.shape.get(MODEL_AXIS, 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, _placement_spec(path, x, mesh))),
+        params)
 
-    def place(path, x):
-        if tp > 1 and hasattr(x, "shape"):
-            spec = param_pspec(_path_names(path), getattr(x, "ndim", 0))
-            if spec != P() and not _divisible(x.shape, spec, mesh):
-                spec = P()
-        else:
-            spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+def abstract_placed(tree: Any, mesh: Mesh) -> Any:
+    """ShapeDtypeStructs carrying the shardings `shard_params` would assign.
+
+    Lets AOT lowering (`jax.jit(...).lower(abstract_state, ...)`) happen
+    BEFORE the real `module.init` executes: lower against
+    `abstract_placed(jax.eval_shape(module.init, batch), mesh)` and the
+    compiled executable accepts the real mesh-placed state. The path rules
+    tolerate the extra 'params'/'opt_state' prefix (they match on suffixes).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=NamedSharding(mesh, _placement_spec(path, x, mesh))),
+        tree)
 
 
 def state_shardings(state: Any) -> Any:

@@ -63,6 +63,11 @@ def test_bench_cli_smoke_default_mode():
             "BENCH_PACK_ROWS": "256,512",
             "BENCH_STEPS": "2",
             "BENCH_QUANT": "none",
+            "BENCH_TIMED_REPS": "1",
+            # 2 emulated devices: still multi-device (catches AOT-vs-init
+            # sharding mismatches — one bit us here) but 1-vCPU-affordable;
+            # the suite's default 8 makes each tiny step cost ~7s
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         },
         timeout=600,
     )
