@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -23,24 +25,24 @@ def _run(code=None, argv=None, env_extra=None, timeout=600):
                           text=True, timeout=timeout)
 
 
-def test_dryrun_multichip_two_devices():
-    proc = _run(code="import __graft_entry__ as g; g.dryrun_multichip(2)")
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "OK" in proc.stdout
+def test_dryrun_multichip_two_devices(capsys):
+    # runs INLINE on the suite's 8-device CPU backend (the driver's child
+    # -process path is exercised by the driver itself every round; a child
+    # here costs ~60s of jax import + cache loads on the 1-vCPU host)
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(2)
+    assert "OK" in capsys.readouterr().out
 
 
 def test_entry_compiles_on_cpu():
-    code = (
-        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
-        "import __graft_entry__ as g\n"
-        "fn, args = g.entry()\n"
-        "loss = float(jax.jit(fn)(*args))\n"
-        "assert loss == loss, 'nan loss'\n"
-        "print('ENTRY_OK', loss)\n"
-    )
-    proc = _run(code=code, env_extra={"JAX_PLATFORMS": "cpu"})
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "ENTRY_OK" in proc.stdout
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    loss = float(jax.jit(fn)(*args))
+    assert loss == loss, "nan loss"
 
 
 def test_bench_cli_smoke_default_mode():
@@ -90,9 +92,15 @@ def test_bench_cli_smoke_default_mode():
     assert wall < 540, f"default bench path took {wall:.0f}s on tiny shapes"
 
 
+@pytest.mark.slow
 def test_bench_cli_smoke():
-    """bench.py end-to-end on tiny models/shapes, CPU platform; the final
-    stdout line must be the driver's JSON contract."""
+    """bench.py end-to-end in FIXED mode on the real HF 8M towers, CPU
+    platform; the final stdout line must be the driver's JSON contract.
+    Slow-marked (487s on the 1-vCPU host: 8M-tower compiles across
+    buckets x step variants on an 8-device emulated mesh): the driver's
+    actual code path — DEFAULT packed mode — is pinned by the fast
+    test_bench_cli_smoke_default_mode above; this covers the non-default
+    fixed path in CI / `make test`."""
     proc = _run(
         argv=["bench.py"],
         env_extra={

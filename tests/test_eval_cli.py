@@ -66,7 +66,11 @@ def test_dataloader_determinism(tmp_path):
     from oneprot_tpu.data.datasets.struct_token_dataset import StructTokenDataset
 
     data_dir = str(tmp_path / "d")
-    generate_fixtures(data_dir, n_train=8, n_eval=4)
+    # 32 items: with length-grouped batching, one sort window collapses the
+    # within-window order to length order, so the seed only permutes the
+    # BATCH order — 8 items gave just 2 batches and seeds could (and did)
+    # coincide; 8 batches make seed-coincidence astronomically unlikely
+    generate_fixtures(data_dir, n_train=32, n_eval=4)
     ds = StructTokenDataset(data_dir=data_dir,
                             filename=f"{data_dir}/train_saprot.h5",
                             split="train", buckets=[64, 128])
@@ -79,4 +83,6 @@ def test_dataloader_determinism(tmp_path):
     # different seed -> different order
     l3 = DataLoader(ds, batch_size=4, shuffle=True, seed=8)
     b3 = [b[0] for b in l3]
-    assert any(not np.array_equal(a, b) for a, b in zip(b1, b3))
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(b1, b3)
+               if a.shape == b.shape)

@@ -7,6 +7,7 @@ reproduce the uncached step's losses and parameters.
 
 import jax
 import numpy as np
+import pytest
 
 from oneprot_tpu.models.encoders import (
     create_sequence_encoder,
@@ -69,6 +70,7 @@ def test_cached_training_matches_uncached():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_uses_cache_end_to_end(tmp_path):
     """Two-epoch trainer run with the cache on: hits recorded, loss finite,
     and metrics match a cache-off run."""

@@ -1,5 +1,7 @@
 """Multirun sweep expansion (reference tests/test_sweeps.py equivalent)."""
 
+import pytest
+
 from train import expand_multirun
 
 
@@ -105,6 +107,7 @@ def test_extract_sweeper_overrides():
     assert rest == ["experiment=debug_struct_token", "trainer.max_epochs=1"]
 
 
+@pytest.mark.slow
 def test_search_sweep_end_to_end(tmp_path):
     """4-trial TPE search through the real train() on the debug slice
     (reference tests/test_sweeps.py:59-70 launches the optuna sweeper)."""
