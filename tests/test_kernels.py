@@ -480,3 +480,81 @@ def test_mha_attention_segment_ids_match_unpacked():
         np.testing.assert_allclose(np.asarray(gp[a_idx]), np.asarray(want_g),
                                    rtol=1e-3, atol=1e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+# ---------------------------------------------------------------------------
+# fused gelu -> int8 quant (kernels/gelu_quant.py)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gelu_quant_kernel_matches_reference(dtype):
+    from oneprot_tpu.kernels.gelu_quant import (
+        gelu_quant_pallas,
+        gelu_quant_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(64, 256) * 3.0, dtype)
+    q, s = gelu_quant_pallas(y, bm=16, interpret=True)
+    q_ref, s_ref = gelu_quant_reference(y)
+    # scales match to f32 precision (same abs-max up to the poly-erf error)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-4)
+    # quantized codes may differ by 1 step where the poly-erf error lands
+    # exactly on a rounding boundary; dequantized values must agree to one
+    # quantization step
+    dq = np.asarray(q, np.float32) * np.asarray(s)
+    dq_ref = np.asarray(q_ref, np.float32) * np.asarray(s_ref)
+    step = np.asarray(s_ref)
+    assert np.all(np.abs(dq - dq_ref) <= 1.001 * step)
+    assert np.mean(np.asarray(q) != np.asarray(q_ref)) < 0.01
+
+
+def test_fused_gelu_quant_dispatcher(monkeypatch):
+    from oneprot_tpu.kernels import gelu_quant as gq
+
+    rng = np.random.RandomState(1)
+    y = jnp.asarray(rng.randn(2, 32, 256), jnp.float32)
+
+    monkeypatch.setenv("ONEPROT_USE_PALLAS", "0")
+    assert gq.fused_gelu_quant(y) is None
+
+    monkeypatch.setenv("ONEPROT_USE_PALLAS", "1")  # interpret mode on CPU
+    out = gq.fused_gelu_quant(y)
+    assert out is not None
+    q, s = out
+    assert q.shape == y.shape and q.dtype == jnp.int8
+    assert s.shape == (2, 32, 1)
+    q_ref, s_ref = gq.gelu_quant_reference(y)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-4)
+
+    # non-128-multiple trailing dim -> fallback to None
+    assert gq.fused_gelu_quant(y[..., :100]) is None
+
+
+def test_int8_mlp_fused_epilogue_matches_unfused(monkeypatch):
+    """Esm2 int8 tower forward: fused gelu->quant path (interpret) vs the
+    unfused Int8Dense-internal quant; outputs agree to int8-step order.
+    128-multiple hidden/intermediate so the fused dispatcher engages."""
+    from oneprot_tpu.models.esm2 import Esm2, Esm2Config
+
+    cfg = Esm2Config(hidden_size=128, num_layers=2, num_heads=4,
+                     intermediate_size=256)
+    rng = np.random.RandomState(2)
+    ids = rng.randint(4, 24, (2, 16)).astype(np.int32)
+    ids[:, 0] = 0
+    ids[:, -1] = 2
+
+    model = Esm2(cfg, quant_int8=True)
+    monkeypatch.setenv("ONEPROT_USE_PALLAS", "0")
+    params = model.init(jax.random.key(0), jnp.asarray(ids))["params"]
+    out_unfused = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids)), np.float32)
+    monkeypatch.setenv("ONEPROT_USE_PALLAS", "1")
+    out_fused = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids)), np.float32)
+
+    cos = float((out_unfused * out_fused).sum()
+                / (np.linalg.norm(out_unfused) * np.linalg.norm(out_fused)
+                   + 1e-9))
+    assert cos > 0.999, f"fused-epilogue drift: cos={cos}"
