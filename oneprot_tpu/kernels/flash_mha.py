@@ -156,7 +156,7 @@ def _head(x, g, d):
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                 segq_ref, segk_ref, o_ref, lse_ref, *, block_k, lk, scale,
-                rotary, skip, d, chunks, segmented):
+                rotary, skip, d, chunks, segmented, fused):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
@@ -172,10 +172,76 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                 slq = pl.ds(i_q * block_q, block_q)
                 q2 = _apply_rot(q2, cos_ref[slq, :], sin_ref[slq, :], d)
             q2 = q2 * jnp.asarray(scale * _LOG2E, in_dtype)
-            qs = [_head(q2, g, d) for g in range(G)]
+            qs = [] if fused else [_head(q2, g, d) for g in range(G)]
             num_k = lk // block_k
             if segmented:
                 seg_q = segq_ref[0]                      # [bq, 1]
+
+            def block_fused(idx, carry=None):
+                """All G heads of the chunk in ONE QK dot and ONE PV dot.
+
+                The per-head dots [bq,d]x[d,bk] leave the MXU's 128-row
+                contraction half (d=64) or three-quarters (d=32) idle and
+                pay per-dot issue latency G times per k block — measured
+                the flat ~2.5 ms/layer attention floor at short L
+                (docs/PERFORMANCE.md "where the remaining time goes").
+                Packing the G heads BLOCK-DIAGONALLY into k'/v' of shape
+                [G*bk, 128] makes one dot q2 @ k'^T = [S_h0 | ... | S_hG]
+                with the full 128-lane contraction busy: the zero blocks
+                occupy exactly the MXU passes the d-padding wasted anyway,
+                so the pass count is unchanged while the dot count drops
+                G-fold. Softmax uses ONE max shared across the chunk's
+                heads (lse = m + log2(l_g) is max-invariant, so the lse
+                contract with the backward kernels is unchanged).
+                """
+                sl = pl.ds(idx * block_k, block_k)
+                k2 = k_ref[0, sl, lo:lo + _BLOCK_LANES]
+                if rotary:
+                    k2 = _apply_rot(k2, cos_ref[sl, :], sin_ref[sl, :], d)
+                bias_blk = bias_ref[0, :, sl]
+                if segmented:
+                    seg_k = segk_ref[0, :, sl]           # [1, bk]
+                    bias_blk = bias_blk + jnp.where(
+                        seg_q == seg_k, 0.0, _NEG_INF)
+                v2 = v_ref[0, sl, lo:lo + _BLOCK_LANES]
+                zero = jnp.zeros((block_k, d), in_dtype)
+
+                def bdiag(x):
+                    return jnp.concatenate([
+                        jnp.concatenate(
+                            [_head(x, g, d) if gg == g else zero
+                             for gg in range(G)], axis=1)
+                        for g in range(G)], axis=0)     # [G*bk, 128]
+
+                s = jax.lax.dot_general(
+                    q2, bdiag(k2), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [bq, G*bk]
+                s = s + jnp.concatenate([bias_blk] * G, axis=-1)
+                m = jnp.max(s, axis=-1, keepdims=True)   # shared over heads
+                if carry is None:
+                    p = jnp.exp2(s - m)
+                    ls = [jnp.sum(p[:, g * block_k:(g + 1) * block_k],
+                                  axis=-1, keepdims=True)
+                          for g in range(G)]
+                    acc = jax.lax.dot_general(
+                        p.astype(in_dtype), bdiag(v2),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [bq, 128]
+                else:
+                    acc0, m0 = carry[0], carry[1]
+                    m_n = jnp.maximum(m0, m)
+                    corr = jnp.exp2(m0 - m_n)            # [bq, 1], shared
+                    p = jnp.exp2(s - m_n)
+                    ls = [carry[2 + g] * corr
+                          + jnp.sum(p[:, g * block_k:(g + 1) * block_k],
+                                    axis=-1, keepdims=True)
+                          for g in range(G)]
+                    acc = acc0 * corr + jax.lax.dot_general(
+                        p.astype(in_dtype), bdiag(v2),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    m = m_n
+                return (acc, m) + tuple(ls)
 
             def block(idx, carry=None):
                 sl = pl.ds(idx * block_k, block_k)
@@ -220,16 +286,30 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                     ls.append(l)
                 return tuple(accs) + tuple(ms) + tuple(ls)
 
-            carry = block(0)
+            step = block_fused if fused else block
+            carry = step(0)
             if skip:
                 n_k = _num_k(len_b, block_k, lk)
                 for idx in range(1, num_k):
                     carry = jax.lax.cond(
-                        idx < n_k, lambda cr: block(idx, cr),
+                        idx < n_k, lambda cr: step(idx, cr),
                         lambda cr: cr, carry)
             else:
                 for idx in range(1, num_k):
-                    carry = block(idx, carry)
+                    carry = step(idx, carry)
+
+            if fused:
+                acc_f, m_sh = carry[0], carry[1]
+                ls = [jnp.maximum(l, 1e-30) for l in carry[2:]]
+                linv = jnp.concatenate(
+                    [jnp.broadcast_to(1.0 / ls[g], (block_q, d))
+                     for g in range(G)], axis=-1)        # [bq, 128]
+                o_parts.append(acc_f * linv)
+                lse_parts.append(jnp.concatenate(
+                    [jnp.broadcast_to(m_sh + jnp.log2(ls[g]),
+                                      (block_q, _HEAD_LSE))
+                     for g in range(G)], axis=-1))
+                continue
 
             accs, ms, ls = carry[:G], carry[G:2 * G], carry[2 * G:]
             ls = [jnp.maximum(l, 1e-30) for l in ls]
@@ -269,6 +349,24 @@ def _seg_views(seg, B, Lq):
         return dummy, jnp.zeros((B, 1, 1), jnp.int32), False
     seg = seg.astype(jnp.int32)
     return seg[:, :, None], seg[:, None, :], True
+
+
+def _pairfuse(G: int, Lq: int) -> bool:
+    """Block-diagonal head packing in the fwd kernel (see block_fused).
+
+    Measured on v5e (hub geometry H=20 D=64): ~6% faster at L=512 (2.53 ->
+    2.38 ms/layer segmented), neutral-to-slower at L=1024 and for the G=4
+    small-head towers (2.19 -> 2.31 at tower L=512) — so it engages only
+    where it wins. ONEPROT_MHA_PAIRFUSE=0/1 forces it off/on everywhere.
+    """
+    import os
+
+    env = os.environ.get("ONEPROT_MHA_PAIRFUSE", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return G == 2 and Lq <= 512
 
 
 def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
@@ -328,7 +426,7 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, lk=Lk, scale=scale,
                           rotary=rotary, skip=skip, d=d, chunks=C,
-                          segmented=segmented),
+                          segmented=segmented, fused=_pairfuse(G, Lq)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),

@@ -482,6 +482,59 @@ def test_mha_attention_segment_ids_match_unpacked():
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("nh,d", [(4, 64), (4, 24)])
+def test_mha_attention_pairfuse_flag_equivalence(nh, d, monkeypatch):
+    """ONEPROT_MHA_PAIRFUSE=0 and =1 (block-diagonal head packing with a
+    shared per-chunk softmax max) agree with each other and the reference,
+    forward and grads, including the multi-k-block running-max carry and
+    segment masking."""
+    from oneprot_tpu.kernels import flash_mha
+    from oneprot_tpu.kernels.flash_mha import mha_attention
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    rng = np.random.RandomState(7)
+    B, L = 1, 256
+    hd = nh * d
+    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    seg = jnp.asarray(np.repeat([[0, 1]], L // 2, axis=1).reshape(1, L))
+    cos, sin = rotary_cos_sin(L, d, jnp.float32)
+    g = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("ONEPROT_MHA_PAIRFUSE", flag)
+        # force small blocks so the fused carry (running shared max) runs
+        monkeypatch.setattr(flash_mha, "DEFAULT_BLOCK_Q", 128)
+        monkeypatch.setattr(flash_mha, "DEFAULT_BLOCK_K", 128)
+
+        def loss(q_, k_, v_):
+            o = mha_attention(q_, k_, v_, nh, rope_cos=cos, rope_sin=sin,
+                              segment_ids=seg, interpret=True)
+            return (o, jnp.sum(o * g))
+
+        out, grads = jax.value_and_grad(
+            lambda *a: loss(*a)[1], argnums=(0, 1, 2))(q, k, v)
+        fwd = loss(q, k, v)[0]
+        return fwd, grads
+
+    o0, g0 = run("0")
+    o1, g1 = run("1")
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=2e-4, atol=2e-5)
+    seg_bias = jnp.where(seg[:, None, :, None] == seg[:, None, None, :],
+                         0.0, -1e9)                     # [B, 1, L, L]
+    ref = _mha_reference(q, k, v, nh, seg_bias, cos, sin)
+    for a, name in ((o0, "unfused"), (o1, "fused")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"{name} vs reference")
+    for a, b, name in zip(g0, g1, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{name} flag mismatch")
+
+
 # ---------------------------------------------------------------------------
 # fused gelu -> int8 quant (kernels/gelu_quant.py)
 
