@@ -17,6 +17,16 @@ import jax.numpy as jnp
 
 
 def _tpu_available() -> bool:
+    """Is the platform the computation TARGETS a TPU?
+
+    When a mesh is active, its devices' platform is authoritative: under a
+    TPU-attached process (jax_platforms="axon,cpu") a `trainer=cpu` run
+    places the step on CPU devices while jax.default_backend() still says
+    tpu — dispatching a compiled Mosaic kernel there fails XLA's CPU
+    lowering ("Only interpret mode is supported on CPU backend").
+    """
+    if _ACTIVE_PLATFORM is not None:
+        return _ACTIVE_PLATFORM in ("tpu", "axon")
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -28,10 +38,15 @@ def _tpu_available() -> bool:
 # kernel is wrapped in a shard_map over the data axis (per-shard pallas,
 # batch-sharded activations stay put). Set by OneProtModule.init.
 _ACTIVE_MESH = None
+# Platform of the active mesh's devices (kept even for 1-device meshes,
+# where _ACTIVE_MESH is cleared): drives the pallas-vs-XLA/interpret choice.
+_ACTIVE_PLATFORM = None
 
 
 def set_active_mesh(mesh) -> None:
-    global _ACTIVE_MESH
+    global _ACTIVE_MESH, _ACTIVE_PLATFORM
+    _ACTIVE_PLATFORM = (
+        mesh.devices.flat[0].platform if mesh is not None else None)
     _ACTIVE_MESH = mesh if mesh is not None and mesh.size > 1 else None
 
 

@@ -611,3 +611,37 @@ def test_int8_mlp_fused_epilogue_matches_unfused(monkeypatch):
                 / (np.linalg.norm(out_unfused) * np.linalg.norm(out_fused)
                    + 1e-9))
     assert cos > 0.999, f"fused-epilogue drift: cos={cos}"
+
+
+def test_dispatch_honors_active_mesh_platform(monkeypatch):
+    """Regression: under a TPU-attached process (default_backend=tpu) a
+    `trainer=cpu` run places the step on CPU devices via the module mesh;
+    the dispatcher must then fall back to XLA instead of emitting a
+    compiled Mosaic kernel for the CPU lowering ("Only interpret mode is
+    supported on CPU backend")."""
+    import jax
+
+    from oneprot_tpu.core.mesh import make_mesh
+    from oneprot_tpu.kernels import attention
+
+    # simulate the TPU-attached env on this CPU host
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        # 1-device CPU mesh: platform must win over default_backend
+        mesh = make_mesh(data=1, model=1, devices=jax.devices("cpu")[:1])
+        attention.set_active_mesh(mesh)
+        assert attention._ACTIVE_PLATFORM == "cpu"
+        assert attention._tpu_available() is False
+
+        q = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128),
+                        jnp.float32)
+        seg = jnp.zeros((1, 128), jnp.int32)
+        # auto mode: must decline the fused path (-> caller's XLA fallback)
+        assert attention.fused_mha(q, q, q, 2, segment_ids=seg) is None
+
+        # cleared mesh: default_backend rules again
+        attention.set_active_mesh(None)
+        assert attention._ACTIVE_PLATFORM is None
+        assert attention._tpu_available() is True
+    finally:
+        attention.set_active_mesh(None)
