@@ -96,6 +96,64 @@ class OneProtEmbedder:
                                   max_length=max_length,
                                   batch_size=batch_size)
 
+    def embed_graphs(self, h5_path: str, ids: Sequence[str],
+                     modality: str = "struct_graph",
+                     max_residues: int = 256, max_neighbors: int = 24,
+                     batch_size: int = 16) -> np.ndarray:
+        """Embed residue graphs (struct_graph) or pocket cut-outs (pocket)
+        straight from a `seqstruc.h5`-layout file (the layout
+        `scripts/ingest_structures.py` writes from raw PDB/mmCIF). Static
+        [max_residues] padding keeps one compile across batches."""
+        from oneprot_tpu.data.common import H5
+        from oneprot_tpu.data.utils.graphs import (
+            protein_to_padded_graph,
+            stack_graphs,
+        )
+
+        h5 = H5.get(h5_path)
+        fn = self._embed_fn(modality)
+        out = []
+        for start in range(0, len(ids), batch_size):
+            graphs = []
+            for pid in ids[start:start + batch_size]:
+                node = h5[pid]["structure"]["0"]["A"]
+                seq = node["residues"]["seq1"][()].decode("utf-8")
+                poly = node["polypeptide"]
+                graphs.append(protein_to_padded_graph(
+                    seq, poly["type"][()], poly["atom_amino_id"][()],
+                    np.asarray(poly["xyz"][()], np.float64),
+                    max_residues=max_residues,
+                    max_neighbors=max_neighbors))
+            batch = {k: jnp.asarray(v)
+                     for k, v in stack_graphs(graphs).items()}
+            out.append(np.asarray(fn(batch), np.float32))
+        return np.concatenate(out, axis=0)
+
+    def embed_msas(self, a3m_paths: Sequence[str], msa_depth: int = 16,
+                   max_length: int = 1024,
+                   batch_size: int = 4) -> np.ndarray:
+        """Embed .a3m MSAs: greedy-select `msa_depth` rows (the reference's
+        subsampling protocol), pad rows/cols statically, run the MSA
+        transformer tower."""
+        from oneprot_tpu.data.tokenizers import MsaBatchConverter
+        from oneprot_tpu.data.utils.msa_io import greedy_select, read_msa
+
+        converter = MsaBatchConverter()
+        fn = self._embed_fn("msa")
+        out = []
+        for start in range(0, len(a3m_paths), batch_size):
+            msas = [greedy_select(read_msa(p), num_seqs=msa_depth)
+                    for p in a3m_paths[start:start + batch_size]]
+            longest = max(
+                (min(len(s), max_length - 2) + 1 for m in msas for _, s in m),
+                default=2)
+            cols = pick_bucket(longest, self.buckets, max_length)
+            tokens = converter(msas, max_rows=msa_depth,
+                               pad_rows_to=msa_depth, pad_cols_to=cols)
+            out.append(np.asarray(
+                fn(jnp.asarray(tokens[:, :, :max_length])), np.float32))
+        return np.concatenate(out, axis=0)
+
     # ------------------------------------------------------------------
     @staticmethod
     def retrieve(queries: np.ndarray, pool: np.ndarray,

@@ -59,3 +59,46 @@ def test_retrieval_topk(run_dir):
     assert idx.shape == (3, 3)
     assert list(idx[:, 0]) == [3, 7, 11]  # nearest is the perturbed source
     assert (scores[:, 0] >= scores[:, 1]).all()
+
+
+def test_embed_graphs_and_msas(tmp_path):
+    """Serving covers the non-token modalities too: residue graphs and
+    pocket cut-outs straight from the seqstruc.h5 layout, and .a3m MSAs
+    through the reference's greedy-select subsampling."""
+    import glob
+
+    from oneprot_tpu.core.config import instantiate
+    from oneprot_tpu.models import esm2
+
+    data_dir = str(tmp_path / "data")
+    generate_fixtures(data_dir, n_train=6, n_eval=2)
+
+    orig = esm2.ESM2_SIZES["esm2_t6_8M"]
+    esm2.ESM2_SIZES["esm2_t6_8M"] = esm2.Esm2Config(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64)
+    try:
+        cfg = load_config(CONFIG_DIR, "train", overrides=[
+            "experiment=debug_all_modalities",
+            f"paths.data_dir={data_dir}",
+            "model.components.sequence.output_dim=32",
+        ])
+        cfg = prepare_run_dir(cfg, output_dir=str(tmp_path / "run"))
+        module = instantiate({**dict(cfg["model"]), "seed": 0})
+        module.init(module.dummy_examples())
+        emb = OneProtEmbedder(module, buckets=[64, 128])
+
+        import pandas as pd
+
+        ids = list(pd.read_csv(
+            os.path.join(data_dir, "train_seqstruc.csv"),
+            header=None)[0].astype(str))[:3]
+        g = emb.embed_graphs(os.path.join(data_dir, "seqstruc.h5"), ids,
+                             max_residues=64, max_neighbors=8, batch_size=2)
+        assert g.shape == (3, 32) and np.isfinite(g).all()
+
+        a3ms = sorted(glob.glob(os.path.join(data_dir, "msas", "*.a3m")))[:2]
+        assert a3ms, "fixture a3m files missing"
+        m = emb.embed_msas(a3ms, msa_depth=4, max_length=128, batch_size=2)
+        assert m.shape == (2, 32) and np.isfinite(m).all()
+    finally:
+        esm2.ESM2_SIZES["esm2_t6_8M"] = orig
