@@ -11,6 +11,7 @@ embed functions with on-device top-k retrieval.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -29,6 +30,14 @@ from oneprot_tpu.utils.loggers import get_pylogger
 log = get_pylogger(__name__)
 
 DEFAULT_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _topk_cosine(q, p, k: int):
+    # module-level jit: a per-call closure would retrace on every retrieve
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    pn = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+    return jax.lax.top_k(qn @ pn.T, k)
 
 
 class OneProtEmbedder:
@@ -64,10 +73,15 @@ class OneProtEmbedder:
     def _embed_fn(self, modality: str):
         if modality not in self._embed_cache:
             model = self.module.model
-            params = self.module.state.params
 
-            self._embed_cache[modality] = jax.jit(
-                lambda ids: model.apply({"params": params}, ids, modality))
+            # params flow as a jit ARGUMENT: closing over them would bake
+            # the full hub (2.6 GB at 650M-bf16) into the HLO as constants
+            # — enormous lowered programs and, through a remote-compile
+            # backend, oversized compile payloads (observed HTTP 413)
+            jitted = jax.jit(
+                lambda p, ids: model.apply({"params": p}, ids, modality))
+            params = self.module.state.params
+            self._embed_cache[modality] = lambda ids: jitted(params, ids)
         return self._embed_cache[modality]
 
     def _embed_tokens(self, modality: str, tok, items: Sequence[str],
@@ -159,15 +173,10 @@ class OneProtEmbedder:
     def retrieve(queries: np.ndarray, pool: np.ndarray,
                  k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k cosine retrieval on device (`lax.top_k` over the MXU matmul;
-        the reference's FAISS slot — declared but never used, SURVEY §2.2)."""
+        the reference's FAISS slot — declared but never used, SURVEY §2.2).
 
-        def _run(q, p):
-            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
-                                 1e-12)
-            pn = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True),
-                                 1e-12)
-            sims = qn @ pn.T
-            return jax.lax.top_k(sims, k)
-
-        scores, idx = jax.jit(_run)(jnp.asarray(queries), jnp.asarray(pool))
+        For repeated queries against the same pool, `jax.device_put` the
+        pool once and pass the device array — a host numpy pool re-uploads
+        per call (hundreds of MB at 100k x 1024)."""
+        scores, idx = _topk_cosine(jnp.asarray(queries), jnp.asarray(pool), k)
         return np.asarray(scores), np.asarray(idx)
