@@ -173,3 +173,34 @@ def test_cached_step_sharded_matches_single(tiny):
     np.testing.assert_allclose(losses[0], float(loss1), rtol=1e-5)
     np.testing.assert_allclose(losses[1], float(loss1b), rtol=1e-4)
     assert cache.hits == seq_ids.shape[0]  # second step fully cached
+
+
+def test_tp4_3b_head_geometry_forward():
+    """The train_3b_tp recipe's sharding: an ESM2 tower with the 3B hub's
+    HEAD GEOMETRY (40 heads — configs/experiment/train_3b_tp.yaml) shards
+    Megatron-style over model=4 (column-parallel q/k/v+fc1, row-parallel
+    o+fc2) and runs a data-sharded forward on the 2x4 mesh."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from oneprot_tpu.core.partitioning import shard_params
+    from oneprot_tpu.models.esm2 import Esm2, Esm2Config
+
+    cfg = Esm2Config(hidden_size=320, num_layers=1, num_heads=40,
+                     intermediate_size=1280)
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    model = Esm2(cfg)
+    ids = jnp.ones((4, 64), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    sharded = shard_params(params, mesh)
+
+    n_model = sum(
+        1 for _, x in jax.tree_util.tree_leaves_with_path(sharded)
+        if "model" in str(getattr(x.sharding, "spec", "")))
+    assert n_model >= 6  # qkv/o/fc1/fc2 kernels (+ biases) of the layer
+
+    fwd = jax.jit(lambda p, i: model.apply({"params": p}, i))
+    out = fwd(sharded, jax.device_put(ids, NamedSharding(mesh, P("data"))))
+    h = out[0] if isinstance(out, tuple) else out
+    assert h.shape == (4, 64, 320)
+    assert bool(jnp.isfinite(jnp.sum(h)))
