@@ -317,6 +317,15 @@ class OneProtDataModule:
         self.pack_row_len = pack_row_len
         self.pack_slots = pack_slots
         self.datasets: Dict[str, Any] = {}
+        self._epoch = 0  # global epoch for train-loader shuffle/collate RNG
+
+    def set_epoch(self, epoch: int) -> None:
+        """Seed the NEXT train_dataloader()'s shuffle/collate/packing RNG
+        with this global epoch index (torch DistributedSampler-style). The
+        trainer calls it every epoch — train loaders are rebuilt per epoch,
+        so without it each rebuild restarts at epoch 0 and every epoch
+        replays the same order."""
+        self._epoch = int(epoch)
 
     def setup(self, stage: Optional[str] = None) -> None:
         if self.datasets:
@@ -361,6 +370,10 @@ class OneProtDataModule:
                 # static shapes + even DP sharding for train (val/test keep
                 # every item; the module replicates ragged tail batches)
                 drop_last=shuffle)
+            if shuffle:
+                # continue the global epoch sequence (set_epoch); val/test
+                # loaders stay at epoch 0 for deterministic evaluation
+                iterables[modality].epoch = self._epoch
         return CombinedLoader(iterables, "min_size" if shuffle else "sequential")
 
     def train_dataloader(self) -> CombinedLoader:

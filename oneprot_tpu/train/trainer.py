@@ -178,7 +178,25 @@ class Trainer:
         if ckpt_path:
             module.state = CheckpointManager.restore_path(ckpt_path, module.state)
             self.global_step = int(module.state.step)
-            log.info(f"resumed from {ckpt_path} at step {self.global_step}")
+            # resume the EPOCH sequence too: the checkpoint's metrics
+            # sidecar carries the epoch it was written in, so reshuffling
+            # continues instead of replaying epoch 0 (reference parity gap:
+            # its resume restores weights only, src/train.py:73-88)
+            self._epoch0 = 0
+            sidecar = f"{ckpt_path.rstrip(os.sep)}.metrics.json"
+            if os.path.exists(sidecar):
+                import json
+
+                with open(sidecar) as f:
+                    saved = (json.load(f) or {}).get("trainer/epoch")
+                if saved is not None:
+                    # the sidecar records the epoch the ckpt was written IN;
+                    # resume continues with the next epoch's shuffle
+                    self._epoch0 = int(saved) + 1
+            log.info(f"resumed from {ckpt_path} at step {self.global_step} "
+                     f"(epoch offset {self._epoch0})")
+        else:
+            self._epoch0 = 0
 
         train_loss = MeanMetric()
         val_loss_best = MinMetric()
@@ -192,6 +210,12 @@ class Trainer:
                     break
                 t_epoch = time.time()
                 n_batches = 0
+                # thread the GLOBAL epoch index into the loaders: fresh
+                # DataLoader objects are built every epoch, so without this
+                # every epoch replayed epoch-0's shuffle/collate RNG (and a
+                # resumed run replayed the first run's epochs)
+                if hasattr(datamodule, "set_epoch"):
+                    datamodule.set_epoch(self._epoch0 + epoch)
                 for batch in datamodule.train_dataloader():
                     if (self.limit_train_batches is not None
                             and n_batches >= self.limit_train_batches):
@@ -327,7 +351,12 @@ class Trainer:
         self.logger.log_metrics(metrics, self.global_step)
         self.metrics_history.update(metrics)
         if "checkpoint" in self.callbacks:
-            self.callbacks["checkpoint"].on_validation_end(module.state, metrics)
+            # the epoch rides the metrics sidecar so a resumed run can
+            # continue the reshuffle sequence (see fit's sidecar read)
+            self.callbacks["checkpoint"].on_validation_end(
+                module.state,
+                {**metrics,
+                 "trainer/epoch": float(getattr(self, "_epoch0", 0) + epoch)})
         if "peft" in self.callbacks:
             self.callbacks["peft"].on_validation_end(
                 module.state.params, metrics)

@@ -86,3 +86,36 @@ def test_dataloader_determinism(tmp_path):
     assert any(not np.array_equal(a, b)
                for a, b in zip(b1, b3)
                if a.shape == b.shape)
+
+
+def test_epochs_reshuffle_across_fresh_loaders(tmp_path):
+    """Regression: the trainer rebuilds train loaders every epoch, so the
+    epoch index must come from datamodule.set_epoch — without it every
+    epoch replayed epoch-0's shuffle order (and contrastive batches saw
+    identical negative compositions all run)."""
+    import numpy as np
+
+    from oneprot_tpu.core.config import instantiate, load_config, prepare_run_dir
+    from oneprot_tpu.data.synthetic import generate_fixtures
+
+    data_dir = str(tmp_path / "fx")
+    generate_fixtures(data_dir, n_train=32, n_eval=4)
+    cfg = load_config(CONFIG_DIR, "train", overrides=[
+        "experiment=debug_struct_token", f"paths.data_dir={data_dir}"])
+    cfg = prepare_run_dir(cfg, output_dir=str(tmp_path / "run"))
+    dm = instantiate({**dict(cfg["data"]), "seed": 0})
+    dm.setup()
+
+    def first_ids(loader):
+        batch = next(iter(loader))
+        item = batch[sorted(batch)[0]] if isinstance(batch, dict) else batch
+        return np.asarray(item[0])[:, :6].tolist()
+
+    dm.set_epoch(0)
+    a = first_ids(dm.train_dataloader())
+    dm.set_epoch(1)
+    b = first_ids(dm.train_dataloader())
+    dm.set_epoch(0)
+    c = first_ids(dm.train_dataloader())
+    assert a != b, "fresh loaders must reshuffle across epochs"
+    assert a == c, "epoch seeding must stay deterministic"

@@ -110,6 +110,14 @@ def test_checkpoint_resume(tiny_esm_cfg, data_dir, tmp_path):
         rows = [json.loads(l) for l in f if l.strip()]
     # resumed runs continue the global step past the first run's steps
     assert max(r["step"] for r in rows) > 2
+    # ... and the EPOCH sequence: the checkpoint's metrics sidecar carries
+    # trainer/epoch, and the resumed run's own last.ckpt records a later
+    # epoch (so reshuffling continues instead of replaying epoch 0)
+    with open(os.path.join(out1, "checkpoints", "last.metrics.json")) as f:
+        e1 = int(json.load(f)["trainer/epoch"])
+    with open(os.path.join(out2, "checkpoints", "last.metrics.json")) as f:
+        e2 = int(json.load(f)["trainer/epoch"])
+    assert e2 == e1 + 1, (e1, e2)
 
 
 def test_ddp_sim_multidevice(tiny_esm_cfg, data_dir, tmp_path):
