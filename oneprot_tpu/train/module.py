@@ -165,6 +165,14 @@ class OneProtModule:
             from oneprot_tpu import kernels as kernels_lib
 
             kernels_lib.set_active_mesh(self.mesh)
+        else:
+            # clear any previous module's mesh/platform: a mesh-less module
+            # initialized after a meshed one (sweep trials, tests, serving
+            # after training) must not inherit a stale shard_map wrapper or
+            # kernel-dispatch platform
+            from oneprot_tpu import kernels as kernels_lib
+
+            kernels_lib.set_active_mesh(None)
         self.state = state
         return state
 

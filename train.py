@@ -41,7 +41,6 @@ def train(cfg) -> dict:
     enable_compilation_cache()
     init_distributed()
     seed = int(cfg.get("seed", 0))
-    os.environ.setdefault("ONEPROT_SEED", str(seed))
 
     output_dir = cfg["paths"]["output_dir"]
     log.info(f"output_dir: {output_dir}")
