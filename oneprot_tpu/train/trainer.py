@@ -292,7 +292,8 @@ class Trainer:
                             self.logger.log_metrics(
                                 {"train/loss": train_loss.compute(),
                                  f"train/loss_{last_mod}": last_loss,
-                                 "epoch": epoch},
+                                 # global epoch: continues across resumes
+                                 "epoch": self._epoch0 + epoch},
                                 self.global_step)
                     if (self.val_check_interval
                             and self.global_step % self.val_check_interval == 0):
