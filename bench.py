@@ -322,7 +322,15 @@ class AsyncCompile:
     def _run(self, lowered):
         with AsyncCompile._sem:
             try:
-                self.result = lowered.compile()
+                try:
+                    self.result = lowered.compile()
+                except Exception as e:
+                    # the tunneled remote-compile endpoint occasionally
+                    # drops a response mid-body ("response body closed
+                    # before all bytes were read", HTTP 5xx) — compiles are
+                    # idempotent, so retry ONCE before failing the run
+                    note(f"compile failed ({self.desc}): {e}; retrying once")
+                    self.result = lowered.compile()
             except BaseException as e:  # surfaced by get()
                 self.error = e
             finally:
@@ -546,7 +554,13 @@ def run_packed(module, init_batch, n_chips: int) -> None:
 
     # the REAL init executes while the group + kernel compiles run
     t0 = time.time()
-    state = module.init(init_batch)
+    try:
+        state = module.init(init_batch)
+    except Exception as e:
+        # transient tunnel flakes (see AsyncCompile._run) must not kill
+        # the run this early; init is idempotent
+        note(f"init failed: {e}; retrying once")
+        state = module.init(init_batch)
     total, trainable = module.num_params()
     note(f"init {time.time()-t0:.1f}s (overlapped with compiles) params "
          f"total={total/1e6:.1f}M trainable={trainable/1e6:.1f}M "
