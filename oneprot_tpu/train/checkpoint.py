@@ -43,15 +43,28 @@ class CheckpointManager:
         return value < self.best_value if self.mode == "min" else value > self.best_value
 
     def _save(self, name: str, state: Any, metrics: Dict[str, float]) -> str:
+        import jax
+
         path = os.path.join(self.dirpath, name)
-        if os.path.exists(path):
+        multi = jax.process_count() > 1
+        # multi-host: every process must CALL ocp save (it coordinates the
+        # per-shard writes), but exactly ONE may clear the old directory and
+        # write the sidecar — unguarded rmtree raced concurrent writers on
+        # the shared filesystem
+        if jax.process_index() == 0 and os.path.exists(path):
             import shutil
 
             shutil.rmtree(path)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_rm_{name}")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
-        with open(os.path.join(self.dirpath, f"{name}.metrics.json"), "w") as f:
-            json.dump({k: float(v) for k, v in metrics.items()}, f)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.dirpath,
+                                   f"{name}.metrics.json"), "w") as f:
+                json.dump({k: float(v) for k, v in metrics.items()}, f)
         return path
 
     def on_validation_end(self, state: Any, metrics: Dict[str, float]) -> Dict[str, str]:

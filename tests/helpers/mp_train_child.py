@@ -99,6 +99,26 @@ flat_c = {"c:" + "/".join(str(getattr(k, "key", k)) for k in path):
           np.asarray(v)
           for path, v in jax.tree_util.tree_flatten_with_path(trainable_c)[0]}
 
+# -- phase 3: multi-host checkpoint save/restore into a SHARED dir ----------
+# every process calls save (ocp coordinates shard writes); only process 0
+# clears the dir and writes the metrics sidecar (train/checkpoint.py _save
+# guards + sync_global_devices barrier — unguarded, the rmtree raced the
+# other process's concurrent write on the shared filesystem).
+from oneprot_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+
+ckpt_dir = os.path.join(os.path.dirname(out_npz), "shared_ckpt")
+mgr = CheckpointManager(ckpt_dir)
+saved = mgr.on_validation_end(state_c, {"val/loss_best": 1.0,
+                                        "trainer/epoch": 0.0})
+assert "last" in saved and "best" in saved, saved
+restored = mgr.restore(state_c, "last")
+r_flat = jax.tree_util.tree_leaves(restored.params)
+s_flat = jax.tree_util.tree_leaves(state_c.params)
+for r, sv in zip(r_flat, s_flat):
+    np.testing.assert_allclose(np.asarray(r), np.asarray(sv), rtol=0,
+                               atol=0)
+assert os.path.exists(os.path.join(ckpt_dir, "last.metrics.json"))
+
 np.savez(out_npz, losses=np.array(losses), losses_c=np.array(losses_c),
          **flat, **flat_c)
-print(f"proc {pid}: OK losses={losses} losses_c={losses_c}")
+print(f"proc {pid}: OK losses={losses} losses_c={losses_c} ckpt=OK")
