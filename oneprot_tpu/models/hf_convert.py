@@ -24,6 +24,18 @@ import numpy as np
 def _np(t: Any) -> np.ndarray:
     if hasattr(t, "detach"):
         return t.detach().cpu().numpy()
+    if hasattr(t, "is_fully_addressable") and not t.is_fully_addressable:
+        # multi-host pod: model-parallel leaves (e.g. lora_B, sharded along
+        # the model axis by core/partitioning.py:58) span hosts, where a
+        # direct np.asarray raises — replicate through a collective identity
+        # first; every process must reach this call
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        t = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(t.sharding.mesh, PartitionSpec()),
+        )(t)
     return np.asarray(t)
 
 

@@ -143,11 +143,15 @@ class PeftCheckpoint:
         self.best = float(value)
         enc_params = params.get(f"encoders_{self.encoder_name}", {})
         transformer = enc_params.get("transformer", {})
-        adapter = export_peft_lora(
-            jax.tree.map(np.asarray, transformer), self.num_layers)
+        # pass the tree RAW: export converts only the LoRA leaves (hf_convert
+        # _np replicates model-sharded leaves collectively, so every process
+        # must run the export), and the frozen backbone never leaves device
+        adapter = export_peft_lora(transformer, self.num_layers)
         if not adapter:
             return None
-        os.makedirs(self.dirpath, exist_ok=True)
         out = os.path.join(self.dirpath, "adapter_model.npz")
-        np.savez(out, **adapter)
+        # only one process may write the shared file (np.savez is not atomic)
+        if jax.process_index() == 0:
+            os.makedirs(self.dirpath, exist_ok=True)
+            np.savez(out, **adapter)
         return out

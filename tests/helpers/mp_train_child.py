@@ -119,6 +119,32 @@ for r, sv in zip(r_flat, s_flat):
                                atol=0)
 assert os.path.exists(os.path.join(ckpt_dir, "last.metrics.json"))
 
+# -- phase 4: PEFT adapter save with MODEL-SHARDED lora_B -------------------
+# lora_B shards along the model axis (core/partitioning.py:58); on a pod the
+# shards span hosts, so the export must replicate collectively (hf_convert
+# _np) before np conversion, and only process 0 may write the shared npz.
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from oneprot_tpu.train.checkpoint import PeftCheckpoint  # noqa: E402
+
+pm = make_mesh(data=1, model=nproc * 4)
+a_host = np.arange(6 * 4, dtype=np.float32).reshape(6, 4)
+b_host = np.arange(4 * 8, dtype=np.float32).reshape(4, 8)
+lora_a = jax.device_put(a_host, NamedSharding(pm, P()))
+lora_b = jax.device_put(b_host, NamedSharding(pm, P(None, "model")))
+assert not lora_b.is_fully_addressable, "lora_B must span processes"
+peft_params = {"encoders_sequence": {"transformer": {"layer_0": {"attn": {
+    "q": {"lora_A": lora_a, "lora_B": lora_b}}}}}}
+peft_dir = os.path.join(os.path.dirname(out_npz), "shared_peft")
+peft = PeftCheckpoint(peft_dir, num_layers=1)
+peft_out = peft.on_validation_end(peft_params, {"val/loss": 0.5})
+assert peft_out is not None
+if pid == 0:
+    saved_npz = np.load(peft_out)
+    key = "base_model.model.encoder.layer.0.attention.self.query"
+    np.testing.assert_array_equal(saved_npz[f"{key}.lora_A.weight"], a_host.T)
+    np.testing.assert_array_equal(saved_npz[f"{key}.lora_B.weight"], b_host.T)
+
 np.savez(out_npz, losses=np.array(losses), losses_c=np.array(losses_c),
          **flat, **flat_c)
-print(f"proc {pid}: OK losses={losses} losses_c={losses_c} ckpt=OK")
+print(f"proc {pid}: OK losses={losses} losses_c={losses_c} ckpt=OK peft=OK")
