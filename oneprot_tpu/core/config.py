@@ -525,7 +525,8 @@ def prepare_run_dir(cfg: ConfigNode, output_dir: Optional[str] = None) -> Config
     import datetime
 
     if output_dir is None:
-        stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        stamp = _sync_stamp(
+            datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
         # resolve paths.* first so log_dir interpolations are concrete
         pre = _Resolver(cfg, resolvers={"hydra": lambda a: "",
                                         "now": lambda a: stamp})
@@ -563,8 +564,41 @@ def prepare_run_dir(cfg: ConfigNode, output_dir: Optional[str] = None) -> Config
     return resolved
 
 
+def _sync_stamp(stamp: str) -> str:
+    """Multi-host pods must agree on the timestamped run dir (checkpoint
+    dirs and loggers key off it); per-process clocks straddling a second
+    boundary would split one run across two directories — and the Orbax
+    coordinated save then hangs on mismatched paths. Broadcast process 0's
+    stamp; identity for single-process runs (and when jax is unavailable,
+    e.g. pure-config tooling)."""
+    try:
+        import jax
+
+        if jax.process_count() <= 1:
+            return stamp
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(32, np.uint8)
+        raw = stamp.encode()[:32]
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+        out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        return bytes(out).rstrip(b"\x00").decode()
+    except ImportError:
+        return stamp
+
+
 def snapshot_config(cfg: ConfigNode, output_dir: str) -> None:
-    """Save resolved config as yaml+json (reference utils/utils.py:40-46)."""
+    """Save resolved config as yaml+json (reference utils/utils.py:40-46).
+    Multi-host: process 0 only (all processes hold the identical resolved
+    config; concurrent same-file writes on a shared FS can interleave)."""
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
+    except ImportError:
+        pass
     plain = to_plain(cfg)
     with open(os.path.join(output_dir, "resolved_config.yaml"), "w") as f:
         yaml.safe_dump(plain, f, default_flow_style=False, sort_keys=False)

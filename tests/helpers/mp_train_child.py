@@ -145,6 +145,25 @@ if pid == 0:
     np.testing.assert_array_equal(saved_npz[f"{key}.lora_A.weight"], a_host.T)
     np.testing.assert_array_equal(saved_npz[f"{key}.lora_B.weight"], b_host.T)
 
+# -- phase 5: run-dir stamp agreement + snapshot write guard ----------------
+# per-process datetime.now() can straddle a second boundary on a pod,
+# splitting ONE run across two output dirs (checkpoints diverge, the Orbax
+# coordinated save hangs); _sync_stamp broadcasts process 0's stamp.
+from oneprot_tpu.core.config import _sync_stamp, snapshot_config  # noqa: E402
+from oneprot_tpu.core.config import to_config  # noqa: E402
+
+divergent = f"2026-08-18_00-00-0{pid}"  # each process proposes its own
+agreed = _sync_stamp(divergent)
+assert agreed == "2026-08-18_00-00-00", (pid, agreed)
+snap_dir = os.path.join(os.path.dirname(out_npz), "shared_run")
+os.makedirs(snap_dir, exist_ok=True)
+snapshot_config(to_config({"seed": 1, "task_name": "mp"}), snap_dir)
+if pid == 0:
+    import yaml
+    with open(os.path.join(snap_dir, "resolved_config.yaml")) as f:
+        assert yaml.safe_load(f) == {"seed": 1, "task_name": "mp"}
+
 np.savez(out_npz, losses=np.array(losses), losses_c=np.array(losses_c),
          **flat, **flat_c)
-print(f"proc {pid}: OK losses={losses} losses_c={losses_c} ckpt=OK peft=OK")
+print(f"proc {pid}: OK losses={losses} losses_c={losses_c} ckpt=OK peft=OK "
+      "rundir=OK")
