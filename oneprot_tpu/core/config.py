@@ -570,10 +570,20 @@ def _sync_stamp(stamp: str) -> str:
     boundary would split one run across two directories — and the Orbax
     coordinated save then hangs on mismatched paths. Broadcast process 0's
     stamp; identity for single-process runs (and when jax is unavailable,
-    e.g. pure-config tooling)."""
+    e.g. pure-config tooling).
+
+    prepare_run_dir runs BEFORE train()'s init_distributed on every entry
+    point, so distributed bootstrap must happen here first: probing
+    `jax.process_count()` on an uninitialized process would (a) report 1
+    and silently skip the broadcast, and (b) initialize the XLA backend,
+    making the later `jax.distributed.initialize` raise on CPU/GPU
+    clusters."""
     try:
         import jax
 
+        from oneprot_tpu.core.mesh import init_distributed
+
+        init_distributed()  # no-op when single-process or already up
         if jax.process_count() <= 1:
             return stamp
         import numpy as np

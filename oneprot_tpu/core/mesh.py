@@ -56,17 +56,34 @@ def enable_compilation_cache(
         pass
 
 
-def init_distributed(coordinator_address: Optional[str] = None) -> None:
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
     """Multi-host bootstrap. A no-op for single-process runs.
 
     On TPU pods, `jax.distributed.initialize()` auto-discovers the coordinator
     from the TPU metadata; explicit args only needed for CPU/GPU clusters.
+
+    Must stay safe to call BEFORE any other jax use: `jax.distributed.
+    initialize` raises if the XLA backend is already up, so the
+    already-initialized probe must not itself touch the backend (a
+    `jax.process_count()` probe here would — it initializes the backend
+    and then the real `initialize` call below could never succeed).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    num_processes = int(os.environ.get("ONEPROT_NUM_PROCESSES", "1"))
-    if num_processes > 1 or coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+    if jax.distributed.is_initialized():
+        return
+    gate = (num_processes
+            or int(os.environ.get("ONEPROT_NUM_PROCESSES", "1")))
+    if gate > 1 or coordinator_address is not None:
+        # explicit num_processes/process_id only when the CALLER provides
+        # both (e.g. a CPU-cluster launcher or the 2-process tests);
+        # ONEPROT_NUM_PROCESSES alone is just the opt-in gate — values stay
+        # None so jax auto-discovers them (TPU metadata, SLURM, etc.)
+        explicit = num_processes is not None and process_id is not None
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes if explicit else None,
+            process_id=process_id if explicit else None)
 
 
 def make_mesh(

@@ -28,18 +28,27 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=4")
 
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
-
-import numpy as np  # noqa: E402
-
 repo = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 sys.path.insert(0, repo)
 sys.path.insert(0, os.path.join(repo, "tests"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Bootstrap through the PRODUCTION path (core.mesh.init_distributed), not a
+# direct jax.distributed.initialize: this proves init_distributed's
+# already-initialized probe does not itself initialize the XLA backend
+# (which would make the initialize call below unreachable — it raises once
+# any backend is up).
+from oneprot_tpu.core.mesh import init_distributed  # noqa: E402
+
+init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                 num_processes=nproc, process_id=pid)
+assert jax.distributed.is_initialized()
+
+import numpy as np  # noqa: E402
 
 from helpers.tiny_models import build_tiny_module, tiny_ids  # noqa: E402
 
