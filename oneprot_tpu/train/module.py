@@ -411,6 +411,7 @@ class OneProtModule:
 
     def encode_pooled(self, params, modality: str, inputs) -> jax.Array:
         """Jitted frozen-backbone forward: transformer -> pooled [B, d]."""
+        self._activate_kernels()
         key = ("pooled", modality)
         if key not in self._eval_step_cache:
             self._eval_step_cache[key] = jax.jit(
@@ -424,6 +425,7 @@ class OneProtModule:
         """Jitted frozen-backbone forward over a PACKED batch:
         segment-masked transformer -> per-protein pooled [R*P, d] (the
         frozen-cacheable representation; feature_cache.get_pooled_packed)."""
+        self._activate_kernels()
         key = ("packed_pooled", modality, num_segments)
         if key not in self._eval_step_cache:
             self._eval_step_cache[key] = jax.jit(
@@ -714,7 +716,23 @@ class OneProtModule:
 
     # -- helpers ---------------------------------------------------------------
 
+    def _activate_kernels(self) -> None:
+        """Re-establish THIS module's mesh/platform for kernel dispatch.
+
+        The dispatch globals (kernels.attention._ACTIVE_MESH/_PLATFORM) are
+        read at TRACE time, and jitted steps trace lazily — on the first
+        call per (modality, bucket shape), which can happen long after
+        init. A second module initialized in between (sweep trials, a
+        mesh-less serving module after training) would otherwise leave ITS
+        mesh active and this module's next new-shape trace would compile
+        with the wrong shard_map wrapping. Called from every public step
+        entry; two global assignments, so per-step cost is nil."""
+        from oneprot_tpu import kernels as kernels_lib
+
+        kernels_lib.set_active_mesh(self.mesh)
+
     def _shard_batch(self, seq_inputs, mod_inputs):
+        self._activate_kernels()
         if self.mesh is None:
             return (jax.tree.map(jnp.asarray, seq_inputs),
                     jax.tree.map(jnp.asarray, mod_inputs))

@@ -204,3 +204,34 @@ def test_tp4_3b_head_geometry_forward():
     h = out[0] if isinstance(out, tuple) else out
     assert h.shape == (4, 64, 320)
     assert bool(jnp.isfinite(jnp.sum(h)))
+
+
+def test_meshed_module_survives_meshless_init(tiny):
+    """A mesh-less module initialized AFTER a meshed one must not strip the
+    meshed module's shard_map kernel wrapping from later traces: the
+    dispatch globals (kernels.attention._ACTIVE_MESH) are read at TRACE
+    time, and jitted steps trace lazily on the first call per bucket shape
+    — which can come after another module's init cleared the global
+    (sweep trials, a serving module spun up next to training)."""
+    from oneprot_tpu.kernels import attention as attn
+
+    seq_ids = _ids(24, 0)
+    st_ids = _ids(54, 1)
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    meshed = _build(mesh=mesh)
+    meshed.init({"struct_token": (seq_ids, st_ids)})
+
+    single = _build(mesh=None)  # same seed -> identical initial params
+    single.init({"struct_token": (seq_ids, st_ids)})
+    assert attn._ACTIVE_MESH is None  # the mesh-less init cleared the global
+
+    # a NEW bucket shape traces only now, after the global was cleared
+    seq_long = _ids(24, 2, length=24)
+    st_long = _ids(54, 3, length=24)
+    _, loss_m = meshed.train_step(
+        meshed.state, "struct_token", seq_long, st_long)
+    assert attn._ACTIVE_MESH is mesh  # the step re-activated its own mesh
+
+    _, loss_s = single.train_step(
+        single.state, "struct_token", seq_long, st_long)
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-5)
