@@ -21,6 +21,9 @@ from typing import Any, Dict, Mapping, Optional
 import numpy as np
 
 
+_REPLICATORS: Dict[Any, Any] = {}
+
+
 def _np(t: Any) -> np.ndarray:
     if hasattr(t, "detach"):
         return t.detach().cpu().numpy()
@@ -28,14 +31,19 @@ def _np(t: Any) -> np.ndarray:
         # multi-host pod: model-parallel leaves (e.g. lora_B, sharded along
         # the model axis by core/partitioning.py:58) span hosts, where a
         # direct np.asarray raises — replicate through a collective identity
-        # first; every process must reach this call
+        # first; every process must reach this call. The jitted identity is
+        # cached per target sharding: a fresh lambda per leaf would retrace
+        # the reshard for every exported tensor (num_layers x 3 LoRA pairs
+        # on every val-loss improvement).
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
-        t = jax.jit(
-            lambda a: a,
-            out_shardings=NamedSharding(t.sharding.mesh, PartitionSpec()),
-        )(t)
+        sh = NamedSharding(t.sharding.mesh, PartitionSpec())
+        fn = _REPLICATORS.get(sh)
+        if fn is None:
+            fn = jax.jit(lambda a: a, out_shardings=sh)
+            _REPLICATORS[sh] = fn
+        t = fn(t)
     return np.asarray(t)
 
 

@@ -43,8 +43,6 @@ class CheckpointManager:
         return value < self.best_value if self.mode == "min" else value > self.best_value
 
     def _save(self, name: str, state: Any, metrics: Dict[str, float]) -> str:
-        import jax
-
         path = os.path.join(self.dirpath, name)
         multi = jax.process_count() > 1
         # multi-host: every process must CALL ocp save (it coordinates the

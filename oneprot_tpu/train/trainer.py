@@ -188,11 +188,20 @@ class Trainer:
                 import json
 
                 with open(sidecar) as f:
-                    saved = (json.load(f) or {}).get("trainer/epoch")
+                    sidecar_metrics = json.load(f) or {}
+                saved = sidecar_metrics.get("trainer/epoch")
                 if saved is not None:
-                    # the sidecar records the epoch the ckpt was written IN;
-                    # resume continues with the next epoch's shuffle
-                    self._epoch0 = int(saved) + 1
+                    # the sidecar records the epoch the ckpt was written IN
+                    # and whether that epoch had COMPLETED: an end-of-epoch
+                    # save resumes with the next epoch's shuffle; a
+                    # mid-epoch save (val_check_interval) replays epoch E
+                    # from the start — some batches repeat, none are
+                    # skipped (the loader position is not checkpointed).
+                    # Older sidecars lack the flag; treat them as complete
+                    # (the previous behavior).
+                    complete = bool(sidecar_metrics.get(
+                        "trainer/epoch_complete", 1.0))
+                    self._epoch0 = int(saved) + (1 if complete else 0)
             log.info(f"resumed from {ckpt_path} at step {self.global_step} "
                      f"(epoch offset {self._epoch0})")
         else:
@@ -321,7 +330,8 @@ class Trainer:
                 pending_losses.clear()
                 if (not stop
                         and (epoch + 1) % self.check_val_every_n_epoch == 0):
-                    self._run_validation(module, datamodule, val_loss_best, epoch)
+                    self._run_validation(module, datamodule, val_loss_best,
+                                         epoch, epoch_end=True)
                 es = self.callbacks.get("early_stopping")
                 if (es is not None and epoch + 1 >= self.min_epochs
                         and es.should_stop(self.metrics_history)):
@@ -341,7 +351,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _run_validation(self, module, datamodule, val_loss_best: MinMetric,
-                        epoch: int):
+                        epoch: int, epoch_end: bool = False):
         metrics = self.validate(module, datamodule, split="val")
         if "val/loss" in metrics:
             val_loss_best.update(metrics["val/loss"])
@@ -357,7 +367,11 @@ class Trainer:
             self.callbacks["checkpoint"].on_validation_end(
                 module.state,
                 {**metrics,
-                 "trainer/epoch": float(getattr(self, "_epoch0", 0) + epoch)})
+                 "trainer/epoch": float(getattr(self, "_epoch0", 0) + epoch),
+                 # mid-epoch saves (val_check_interval) must not make a
+                 # resume skip the rest of the epoch: the sidecar records
+                 # whether the epoch had completed at save time
+                 "trainer/epoch_complete": float(epoch_end)})
         if "peft" in self.callbacks:
             self.callbacks["peft"].on_validation_end(
                 module.state.params, metrics)

@@ -120,6 +120,33 @@ def test_checkpoint_resume(tiny_esm_cfg, data_dir, tmp_path):
     assert e2 == e1 + 1, (e1, e2)
 
 
+def test_midepoch_checkpoint_resume_replays_epoch(tiny_esm_cfg, data_dir,
+                                                  tmp_path):
+    """A checkpoint saved MID-epoch (val_check_interval, no epoch-end
+    validation) must not make the resumed run skip the rest of that epoch:
+    the sidecar records trainer/epoch_complete=0 and resume replays the
+    epoch's shuffle from the start (batches may repeat, none are skipped)."""
+    import json
+
+    mid = ["trainer.val_check_interval=2",
+           "trainer.check_val_every_n_epoch=2"]  # no end-of-epoch val
+    out1 = str(tmp_path / "run1")
+    _run(_tiny_overrides(data_dir, tmp_path, extra=mid), out1)
+    last = os.path.join(out1, "checkpoints", "last")
+    with open(last + ".metrics.json") as f:
+        side1 = json.load(f)
+    assert side1["trainer/epoch_complete"] == 0.0
+    e1 = int(side1["trainer/epoch"])
+
+    out2 = str(tmp_path / "run2")
+    _run(_tiny_overrides(data_dir, tmp_path,
+                         extra=mid + [f"ckpt_path={last}"]), out2)
+    with open(os.path.join(out2, "checkpoints",
+                           "last.metrics.json")) as f:
+        e2 = int(json.load(f)["trainer/epoch"])
+    assert e2 == e1, (e1, e2)  # the incomplete epoch is replayed, not skipped
+
+
 def test_ddp_sim_multidevice(tiny_esm_cfg, data_dir, tmp_path):
     """Data-parallel over the 8-device virtual CPU mesh; loss finite and the
     state stays replicated (the ddp_sim test of the reference,
