@@ -54,11 +54,10 @@ class OneProtEmbedder:
     def from_run_dir(cls, run_dir: str, ckpt: str = "best",
                      **kwargs) -> "OneProtEmbedder":
         from oneprot_tpu.evaluation.retrieval_eval import load_trained_module
-        from oneprot_tpu.train.checkpoint import CheckpointManager
+        from oneprot_tpu.train.checkpoint import restore_any
 
         module, cfg = load_trained_module(run_dir)
         module.init_for_restore()
-        from oneprot_tpu.train.checkpoint import restore_any
 
         try:
             # Orbax name/dir or a reference Lightning .ckpt file
