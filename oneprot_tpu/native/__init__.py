@@ -19,15 +19,28 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-_SO_PATH = os.path.join(_ROOT, "native", "liboneprot_host.so")
-_SRC_PATH = os.path.join(_ROOT, "native", "oneprot_host.cc")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+# repo layout first (native/ at the repo root, built by `make native`);
+# installed-wheel layout second (a .so or .cc dropped next to this file is
+# picked up via package-data — pyproject [tool.setuptools.package-data])
+_SO_CANDIDATES = (os.path.join(_ROOT, "native", "liboneprot_host.so"),
+                  os.path.join(_PKG_DIR, "liboneprot_host.so"))
+_SRC_CANDIDATES = (os.path.join(_ROOT, "native", "oneprot_host.cc"),
+                   os.path.join(_PKG_DIR, "oneprot_host.cc"))
 
 
-def _build() -> bool:
+def _first_existing(paths) -> Optional[str]:
+    for p in paths:
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def _build(src: str, out: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             _SRC_PATH, "-o", _SO_PATH],
+             src, "-o", out],
             check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError):
@@ -41,12 +54,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("ONEPROT_NATIVE", "1") == "0":
         return None
-    if not os.path.isfile(_SO_PATH) and os.path.isfile(_SRC_PATH):
-        _build()
-    if not os.path.isfile(_SO_PATH):
+    so_path = _first_existing(_SO_CANDIDATES)
+    if so_path is None:
+        src = _first_existing(_SRC_CANDIDATES)
+        if src is not None:
+            out = os.path.join(os.path.dirname(src), "liboneprot_host.so")
+            if _build(src, out):
+                so_path = out
+    if so_path is None:
         return None
     try:
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = ctypes.CDLL(so_path)
     except OSError:
         return None
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
