@@ -63,3 +63,38 @@ def test_native_greedy_select_matches_numpy(lib, monkeypatch):
     monkeypatch.setattr(native, "_TRIED", False)
     slow = msa_io.greedy_select(msa, 6)
     assert [s for _, s in fast] == [s for _, s in slow]
+
+
+def test_loader_prefers_repo_then_package_local(tmp_path, monkeypatch):
+    """Installed-wheel layout: when the repo-root native/ dir is absent, the
+    loader builds/loads from a source dropped next to the package
+    (pyproject ships *.cc/*.so via package-data)."""
+    import shutil
+
+    pkg_so = tmp_path / "liboneprot_host.so"
+    shutil.copy(native._SO_CANDIDATES[0], pkg_so)
+    monkeypatch.setattr(native, "_SO_CANDIDATES",
+                        (str(tmp_path / "missing.so"), str(pkg_so)))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    try:
+        assert native.available()
+    finally:
+        native._LIB = None
+        native._TRIED = False
+
+
+def test_loader_numpy_fallback_when_nothing_found(monkeypatch):
+    monkeypatch.setattr(native, "_SO_CANDIDATES", ("/nonexistent/a.so",))
+    monkeypatch.setattr(native, "_SRC_CANDIDATES", ("/nonexistent/a.cc",))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    try:
+        assert native.get_lib() is None
+        # the tokenizer's python path still serves the call surface
+        tok = esm2_tokenizer()
+        ids = tok(["MKTA"], max_length=16, padding="max_length")
+        assert ids.shape == (1, 16)
+    finally:
+        native._LIB = None
+        native._TRIED = False
