@@ -113,7 +113,15 @@ class OneProtModule:
         return list(self.encoders.keys())
 
     def init(self, example_batches: Dict[str, Any]) -> TrainState:
-        """Initialize params from one example batch per modality."""
+        """Initialize params from one example batch per modality.
+
+        The whole init — flax param init, the frozen-leaf bf16 cast, and
+        `tx.init` — runs as ONE jitted executable: op-by-op init dispatched
+        ~10^3 tiny RPCs through a tunneled backend (~3 min for the 650M
+        hub); one compiled program initializes on-device in seconds and the
+        executable lands in the persistent compilation cache, so warm
+        starts skip its compile too.
+        """
         rng = jax.random.key(self.seed)
         examples = {}
         for name, (seq_inputs, mod_inputs) in example_batches.items():
@@ -125,43 +133,66 @@ class OneProtModule:
             raise ValueError(
                 "No example batches provided — did every dataset fail to "
                 "load? Check data_dir and the datamodule setup logs.")
-        params = self.model.init(
-            {"params": rng, "dropout": jax.random.key(self.seed + 1),
-             "augment": jax.random.key(self.seed + 2)},
-            examples, method=OneProtModel.encode_all)["params"]
-        params = self._load_pretrained(params)
-        self.mask = optim_lib.trainable_mask(params, self.encoders)
-        if self.frozen_param_dtype in ("bfloat16", "bf16"):
-            # frozen leaves never meet an optimizer: store them bf16. Halves
-            # the 650M hub's HBM footprint and removes a per-step fp32->bf16
-            # convert of the whole tower (compute dtype is bf16 anyway).
-            # int8 kernels (not floating) and int8 dequant scales
-            # (`kernel_scale`: bf16's 8 mantissa bits would add ~0.4%
-            # dequantization error on top of the quantization noise) keep
-            # their dtypes.
-            params = jax.tree_util.tree_map_with_path(
-                lambda path, p, trainable_leaf: p
-                if (trainable_leaf
-                    or not jnp.issubdtype(p.dtype, jnp.floating)
-                    or any(getattr(k, "key", None) == "kernel_scale"
-                           for k in path))
-                else p.astype(jnp.bfloat16),
-                params, self.mask)
-        trainable, _ = optim_lib.partition_params(params, self.mask)
-        opt_state = self.tx.init(trainable)
-        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=opt_state)
-        if self.mesh is not None:
-            from oneprot_tpu.core.partitioning import shard_params
+        rngs = {"params": rng, "dropout": jax.random.key(self.seed + 1),
+                "augment": jax.random.key(self.seed + 2)}
 
-            # params (and their optimizer moments) follow the TP rules when
-            # the mesh has a model axis; everything else replicates
-            state = TrainState(
-                step=jax.device_put(state.step,
-                                    NamedSharding(self.mesh, P())),
-                params=shard_params(state.params, self.mesh),
-                opt_state=shard_params(state.opt_state, self.mesh),
-            )
+        def raw_init(rngs_, examples_):
+            return self.model.init(
+                rngs_, examples_, method=OneProtModel.encode_all)["params"]
+
+        abstract_params = jax.eval_shape(raw_init, rngs, examples)
+        self.mask = optim_lib.trainable_mask(abstract_params, self.encoders)
+        mask = self.mask
+
+        def finish(params):
+            if self.frozen_param_dtype in ("bfloat16", "bf16"):
+                # frozen leaves never meet an optimizer: store them bf16.
+                # Halves the 650M hub's HBM footprint and removes a per-step
+                # fp32->bf16 convert of the whole tower (compute dtype is
+                # bf16 anyway). int8 kernels (not floating) and int8 dequant
+                # scales (`kernel_scale`: bf16's 8 mantissa bits would add
+                # ~0.4% dequantization error on top of the quantization
+                # noise) keep their dtypes.
+                params = jax.tree_util.tree_map_with_path(
+                    lambda path, p, trainable_leaf: p
+                    if (trainable_leaf
+                        or not jnp.issubdtype(p.dtype, jnp.floating)
+                        or any(getattr(k, "key", None) == "kernel_scale"
+                               for k in path))
+                    else p.astype(jnp.bfloat16),
+                    params, mask)
+            trainable, _ = optim_lib.partition_params(params, mask)
+            opt_state = self.tx.init(trainable)
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=opt_state)
+
+        # jit out_shardings: params and optimizer moments follow the TP
+        # rules when the mesh has a model axis; everything else replicates
+        out_shardings = None
+        if self.mesh is not None:
+            from oneprot_tpu.core.partitioning import abstract_placed
+
+            abstract_state = jax.eval_shape(finish, abstract_params)
+            out_shardings = jax.tree.map(
+                lambda s: s.sharding,
+                abstract_placed(abstract_state, self.mesh))
+
+        has_pretrained = any(
+            getattr(enc, "pretrained_dir", None)
+            for enc in self.encoders.values())
+        if has_pretrained:
+            # HF-checkpoint grafting happens host-side (torch state dict →
+            # numpy), so params materialize on host anyway; only the
+            # post-graft transform runs as one program.
+            params = jax.jit(raw_init)(rngs, examples)
+            params = self._load_pretrained(params)
+            state = jax.jit(finish, out_shardings=out_shardings)(params)
+        else:
+            state = jax.jit(
+                lambda r, ex: finish(raw_init(r, ex)),
+                out_shardings=out_shardings)(rngs, examples)
+
+        if self.mesh is not None:
             from oneprot_tpu import kernels as kernels_lib
 
             kernels_lib.set_active_mesh(self.mesh)

@@ -75,14 +75,19 @@ def test_bench_cli_smoke_default_mode():
     )
     wall = time.time() - t0
     assert proc.returncode == 0, proc.stderr[-3000:]
-    # stdout carries exactly one line: the driver JSON contract
+    # stdout contract: EVERY line is a valid headline JSON object (the
+    # provisional line prints first, the final aggregate last — first-line
+    # and last-line parsers must both see an honest number)
     lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
-    assert len(lines) == 1, proc.stdout
-    out = json.loads(lines[0])
-    for key in ("metric", "value", "unit", "vs_baseline"):
-        assert key in out, out
-    assert out["value"] > 0
-    assert "packed" in out["metric"]
+    assert len(lines) >= 2, proc.stdout
+    for line in lines:
+        out = json.loads(line)
+        for key in ("metric", "value", "unit", "vs_baseline"):
+            assert key in out, out
+        assert out["value"] > 0
+        assert "packed" in out["metric"]
+    assert json.loads(lines[0]).get("provisional") is True, lines[0]
+    assert "provisional" not in json.loads(lines[-1]), lines[-1]
     # the headline must be emitted BEFORE the cached extras in the stderr
     # timeline so a driver timeout there still leaves the number
     assert "headline JSON emitted" in proc.stderr
