@@ -9,11 +9,9 @@ writes the fixed-width results CSV.
 
 from __future__ import annotations
 
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
+from oneprot_tpu.cli import default_config_dir  # noqa: E402
 from oneprot_tpu.core.config import load_config, prepare_run_dir  # noqa: E402
 from oneprot_tpu.evaluation.retrieval_eval import run_eval  # noqa: E402
 
@@ -23,8 +21,7 @@ def main(argv=None):
 
     enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
-    config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "configs")
+    config_dir = default_config_dir()
     cfg = load_config(config_dir, "eval", overrides=argv)
     cfg = prepare_run_dir(cfg)
     return run_eval(cfg)

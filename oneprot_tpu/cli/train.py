@@ -16,9 +16,7 @@ from __future__ import annotations
 import os
 import sys
 
-# keep project-root imports working from anywhere (pyrootutils equivalent)
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
+from oneprot_tpu.cli import default_config_dir  # noqa: E402
 from oneprot_tpu.core.config import (  # noqa: E402
     instantiate,
     load_config,
@@ -177,8 +175,7 @@ def run_search(sweeper_name, options, params, base_overrides, config_dir):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "configs")
+    config_dir = default_config_dir()
     multirun = False
     for flag in ("-m", "--multirun"):
         if flag in argv:

@@ -37,13 +37,23 @@ def _first_existing(paths) -> Optional[str]:
 
 
 def _build(src: str, out: str) -> bool:
+    """Compile to a process-unique temp file, then os.replace() into place:
+    concurrent first-use across processes (e.g. an installed wheel's first
+    import in several workers) must never CDLL-load a partially written .so
+    (advisor r3 finding). os.replace is atomic within a directory."""
+    tmp = f"{out}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             src, "-o", out],
+             src, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

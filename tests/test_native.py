@@ -65,16 +65,26 @@ def test_native_greedy_select_matches_numpy(lib, monkeypatch):
     assert [s for _, s in fast] == [s for _, s in slow]
 
 
-def test_loader_prefers_repo_then_package_local(tmp_path, monkeypatch):
+def test_loader_prefers_repo_then_package_local(lib, tmp_path, monkeypatch):
     """Installed-wheel layout: when the repo-root native/ dir is absent, the
-    loader builds/loads from a source dropped next to the package
-    (pyproject ships *.cc/*.so via package-data)."""
+    loader loads the .so dropped next to the package (pyproject ships
+    *.cc/*.so via package-data). Depends on the `lib` fixture so the repo
+    .so exists (it's gitignored — a fresh checkout without a toolchain
+    must skip, not error; advisor r3 finding), and _SRC_CANDIDATES is
+    pointed at nonexistent paths so the assertion can only be satisfied by
+    the package-local .so — not by a silent rebuild from the repo source."""
     import shutil
 
+    repo_so = native._first_existing(native._SO_CANDIDATES)
+    if repo_so is None:
+        pytest.skip("no prebuilt liboneprot_host.so to copy")
     pkg_so = tmp_path / "liboneprot_host.so"
-    shutil.copy(native._SO_CANDIDATES[0], pkg_so)
+    shutil.copy(repo_so, pkg_so)
     monkeypatch.setattr(native, "_SO_CANDIDATES",
                         (str(tmp_path / "missing.so"), str(pkg_so)))
+    monkeypatch.setattr(native, "_SRC_CANDIDATES",
+                        (str(tmp_path / "missing_a.cc"),
+                         str(tmp_path / "missing_b.cc")))
     monkeypatch.setattr(native, "_LIB", None)
     monkeypatch.setattr(native, "_TRIED", False)
     try:
