@@ -25,6 +25,7 @@ pass only — no backward, no optimizer state.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -261,6 +262,7 @@ class OneProtModule:
             if key not in params or "transformer" not in params[key]:
                 continue
             sd = load_torch_state_dict(hf_dir)
+            float_tree = None
             if isinstance(enc, (enc_lib.SequenceEncoder,
                                 enc_lib.StructTokenEncoder)):
                 extra = enc.config.vocab_size - 33
@@ -271,6 +273,7 @@ class OneProtModule:
                     # one-time weight quantization into the Int8Dense layout
                     from oneprot_tpu.models.esm2 import quantize_esm2_int8_tree
 
+                    float_tree = converted
                     converted = quantize_esm2_int8_tree(converted)
             elif isinstance(enc, enc_lib.TextEncoder):
                 converted = convert_bert_state_dict(sd, enc.config.num_layers)
@@ -280,7 +283,70 @@ class OneProtModule:
             # (LoRA factors) and preserve shapes/dtypes
             target = params[key]["transformer"]
             params[key]["transformer"] = _graft(target, converted)
+            if float_tree is not None and os.environ.get(
+                    "ONEPROT_INT8_CANARY", "1") != "0":
+                self._int8_canary(name, enc, params[key], float_tree)
         return params
+
+    def _int8_canary(self, name: str, enc, enc_params, float_tree) -> None:
+        """Runtime quality canary for int8-quantized pretrained hubs
+        (VERDICT r3 #8): the int8 path's offline quality evidence comes
+        from random towers only — real trained weight distributions
+        (heavy tails, outlier channels) can quantize worse. On every
+        pretrained int8 load, compare the quantized backbone's pooled
+        embeddings against the bf16 weights on a probe batch and WARN
+        below ONEPROT_INT8_CANARY_MIN cosine (default 0.98)."""
+        from oneprot_tpu.utils.loggers import get_pylogger
+
+        log = get_pylogger("int8_canary")
+        try:
+            threshold = float(
+                os.environ.get("ONEPROT_INT8_CANARY_MIN", "0.98"))
+            probe_rng = np.random.RandomState(0)
+            ids = probe_rng.randint(
+                4, min(enc.config.vocab_size, 24), size=(4, 48)).astype(
+                    np.int32)
+            ids[:, 0] = 0
+            ids[:, -1] = 2
+            ids = jnp.asarray(ids)
+
+            enc_bf = enc.clone(quant_int8=False)
+            target_bf = jax.eval_shape(
+                lambda: enc_bf.init(jax.random.key(0), ids))["params"]
+            bf_transformer = _graft(target_bf["transformer"], float_tree)
+            leaves = jax.tree.leaves(bf_transformer)
+            if any(isinstance(x, jax.ShapeDtypeStruct) for x in leaves):
+                log.warning(
+                    f"int8 canary for '{name}' skipped: float checkpoint "
+                    "does not cover every transformer leaf")
+                return
+            params_bf = dict(enc_params)
+            params_bf["transformer"] = bf_transformer
+
+            def pooled(e, p):
+                return e.apply({"params": p}, ids,
+                               method=type(e).backbone_pooled)
+
+            f_q = np.asarray(jax.jit(
+                lambda p: pooled(enc, p))(enc_params), np.float32)
+            f_b = np.asarray(jax.jit(
+                lambda p: pooled(enc_bf, p))(params_bf), np.float32)
+            num = (f_q * f_b).sum(-1)
+            den = (np.linalg.norm(f_q, axis=-1)
+                   * np.linalg.norm(f_b, axis=-1) + 1e-12)
+            cos = num / den
+            msg = (f"int8 canary '{name}': bf16-vs-int8 pooled-embedding "
+                   f"cosine min={cos.min():.4f} mean={cos.mean():.4f} "
+                   f"(threshold {threshold})")
+            if cos.min() < threshold:
+                log.warning(
+                    msg + " — int8 quantization degrades this checkpoint's "
+                    "embeddings; re-run with model.components."
+                    f"{name}.quantize=null and compare retrieval quality")
+            else:
+                log.info(msg)
+        except Exception as e:  # the canary must never block a load
+            log.warning(f"int8 canary for '{name}' failed (non-fatal): {e}")
 
     # -- loss ---------------------------------------------------------------
 
