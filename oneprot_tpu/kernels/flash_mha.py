@@ -156,7 +156,7 @@ def _head(x, g, d):
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                 segq_ref, segk_ref, o_ref, lse_ref, *, block_k, lk, scale,
-                rotary, skip, d, chunks, segmented, fused):
+                rotary, skip, d, chunks, segmented, fused, seg_skip):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
@@ -165,6 +165,13 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
 
     def compute():
         o_parts, lse_parts = [], []
+        if seg_skip:
+            # packed rows: segments are contiguous, so [min, max] segment-id
+            # ranges decide whether a (q block, k block) pair can contain
+            # ANY same-segment pair; disjoint ranges mean every logit is
+            # -inf masked and the whole block is skipped (see _segskip)
+            sq = segq_ref[0]
+            q_lo, q_hi = jnp.min(sq), jnp.max(sq)
         for c in range(chunks):
             lo = c * _BLOCK_LANES
             q2 = q_ref[0][:, lo:lo + _BLOCK_LANES]      # [bq, 128]
@@ -288,11 +295,21 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
 
             step = block_fused if fused else block
             carry = step(0)
-            if skip:
-                n_k = _num_k(len_b, block_k, lk)
+            if skip or seg_skip:
+                n_k = _num_k(len_b, block_k, lk) if skip else None
                 for idx in range(1, num_k):
+                    pred = None
+                    if skip:
+                        pred = idx < n_k
+                    if seg_skip:
+                        skb = segk_ref[0, :,
+                                       idx * block_k:(idx + 1) * block_k]
+                        hit = jnp.logical_and(q_lo <= jnp.max(skb),
+                                              jnp.min(skb) <= q_hi)
+                        pred = hit if pred is None else jnp.logical_and(
+                            pred, hit)
                     carry = jax.lax.cond(
-                        idx < n_k, lambda cr: step(idx, cr),
+                        pred, lambda cr, idx=idx: step(idx, cr),
                         lambda cr: cr, carry)
             else:
                 for idx in range(1, num_k):
@@ -351,6 +368,49 @@ def _seg_views(seg, B, Lq):
     return seg[:, :, None], seg[:, None, :], True
 
 
+def _segskip(segmented: bool, Lq: int) -> bool:
+    """Segment-aware block skipping for PACKED rows (VERDICT r3 #3).
+
+    With ~5 proteins packed per 512-token row, only sum(seg_len^2)/L^2
+    ~ 20-45% of attention logits are within-segment — the rest are
+    computed and then -inf masked. Packed segments are contiguous, so a
+    (q block, k block) pair whose segment-id ranges are disjoint is
+    provably all-masked: the kernels split the k/q streaming loops into
+    128-wide blocks and lax.cond-skip those pairs (forward, dq, and dk/dv).
+    Numerics are exact (skipped blocks contribute zero probability mass /
+    zero gradient by construction).
+
+    MEASURED REJECTION (kept as an opt-in experiment, default OFF): on
+    v5e at the packed tower shape (B=32 L=512 H=20 d=32-padded, 5
+    segments/row, scripts/microbench_tower_attn.py) the skip LOSES —
+    fwd 2.71 -> 4.29 ms/layer, fwd+bwd 5.37 -> 8.99 at 128-wide stream
+    blocks; 3.21 / 6.67 at 256-wide. The narrow stream blocks the skip
+    needs (128-256 vs the default 512-wide k stream) raise the small-dot
+    issue count by 2-4x, and on this geometry the kernel is issue-bound,
+    not FLOP-bound (docs/PERFORMANCE.md "Attention small-dot floor") —
+    the ~60% masked-FLOP saving cannot pay for that. Same conclusion as
+    the int8-QK rejection. ONEPROT_MHA_SEGSKIP=1 forces it on for
+    re-measurement on future hardware where the MXU issue floor differs;
+    numerics are flag-equivalent either way
+    (tests/test_kernels.py::test_mha_attention_segskip_flag_equivalence).
+    """
+    import os
+
+    return (os.environ.get("ONEPROT_MHA_SEGSKIP", "0") == "1"
+            and segmented)
+
+
+def _segskip_block() -> int:
+    """Stream-block width under seg_skip (skip granularity vs per-dot
+    issue cost tradeoff; see _segskip for the measurements)."""
+    import os
+
+    try:
+        return int(os.environ.get("ONEPROT_MHA_SEGSKIP_BLOCK", "128"))
+    except ValueError:
+        return 128
+
+
 def _pairfuse(G: int, Lq: int) -> bool:
     """Block-diagonal head packing in the fwd kernel (see block_fused).
 
@@ -383,9 +443,11 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
     # alive, so G=4 halves the block size to stay inside scoped vmem
     dflt_q = DEFAULT_BLOCK_Q // (G // 2)
     dflt_k = DEFAULT_BLOCK_K // (G // 2)
-    block_q = _block(Lq, SKIP_BLOCK if skip else dflt_q)
-    block_k = _block(Lk, SKIP_BLOCK if skip else dflt_k)
     segq, segk, segmented = _seg_views(seg, B, Lq)
+    seg_skip = _segskip(segmented, Lq)
+    block_q = _block(Lq, SKIP_BLOCK if skip else dflt_q)
+    block_k = _block(Lk, _segskip_block() if seg_skip else
+                     (SKIP_BLOCK if skip else dflt_k))
 
     q_map = lambda b, h, i, lref: (b, i, h)
     kv_map = lambda b, h, i, lref: (b, 0, h)
@@ -426,7 +488,8 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, lk=Lk, scale=scale,
                           rotary=rotary, skip=skip, d=d, chunks=C,
-                          segmented=segmented, fused=_pairfuse(G, Lq)),
+                          segmented=segmented, fused=_pairfuse(G, Lq),
+                          seg_skip=seg_skip),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, hd), q.dtype),
@@ -446,7 +509,8 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
 
 def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
                    do_ref, lse_ref, delta_ref, segq_ref, segk_ref, dq_ref,
-                   *, block_k, lk, scale, rotary, skip, d, chunks, segmented):
+                   *, block_k, lk, scale, rotary, skip, d, chunks, segmented,
+                   seg_skip):
     in_dtype = q_ref.dtype
     G = _BLOCK_LANES // d
     block_q = q_ref.shape[1]
@@ -506,12 +570,24 @@ def _bwd_dq_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref,
 
             carry = tuple(jnp.zeros((block_q, d), jnp.float32)
                           for _ in range(G))
-            if skip:
-                n_k = _num_k(len_b, block_k, lk)
+            if skip or seg_skip:
+                n_k = _num_k(len_b, block_k, lk) if skip else None
+                if seg_skip:
+                    q_lo, q_hi = jnp.min(seg_q), jnp.max(seg_q)
                 carry = block(0, carry)
                 for idx in range(1, num_k):
+                    pred = None
+                    if skip:
+                        pred = idx < n_k
+                    if seg_skip:
+                        skb = segk_ref[0, :,
+                                       idx * block_k:(idx + 1) * block_k]
+                        hit = jnp.logical_and(q_lo <= jnp.max(skb),
+                                              jnp.min(skb) <= q_hi)
+                        pred = hit if pred is None else jnp.logical_and(
+                            pred, hit)
                     carry = jax.lax.cond(
-                        idx < n_k, lambda cr: block(idx, cr),
+                        pred, lambda cr, idx=idx: block(idx, cr),
                         lambda cr: cr, carry)
             else:
                 for idx in range(num_k):
@@ -542,7 +618,7 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
                     sin_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
                     dk_ref, dv_ref,
                     *, block_q, lq, scale, rotary, skip, d, chunks,
-                    segmented):
+                    segmented, seg_skip):
     in_dtype = k_ref.dtype
     G = _BLOCK_LANES // d
     j = pl.program_id(2)
@@ -610,14 +686,28 @@ def _bwd_dkv_kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
 
             carry = tuple(jnp.zeros((block_k, d), jnp.float32)
                           for _ in range(2 * G))
-            if skip:
+            if skip or seg_skip:
                 # only q blocks within the true length contribute (pad q
-                # rows have do == 0 exactly)
-                n_q = _num_k(len_b, block_q, lq)
+                # rows have do == 0 exactly); under seg_skip, q blocks with
+                # no segment in common with this program's keys contribute
+                # zero probability mass
+                n_q = _num_k(len_b, block_q, lq) if skip else None
+                if seg_skip:
+                    k_lo, k_hi = jnp.min(seg_k), jnp.max(seg_k)
                 carry = block(0, carry)
                 for idx in range(1, num_q):
+                    pred = None
+                    if skip:
+                        pred = idx < n_q
+                    if seg_skip:
+                        sqb = segq_ref[0,
+                                       idx * block_q:(idx + 1) * block_q, :]
+                        hit = jnp.logical_and(jnp.min(sqb) <= k_hi,
+                                              k_lo <= jnp.max(sqb))
+                        pred = hit if pred is None else jnp.logical_and(
+                            pred, hit)
                     carry = jax.lax.cond(
-                        idx < n_q, lambda cr: block(idx, cr),
+                        pred, lambda cr, idx=idx: block(idx, cr),
                         lambda cr: cr, carry)
             else:
                 for idx in range(num_q):
@@ -661,9 +751,15 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
     lanes = C * _BLOCK_LANES
     lse_lanes = C * G * _HEAD_LSE
     bwd_dflt = 512 // (G // 2)
+    segq, segk, segmented = _seg_views(seg, B, Lq)
+    seg_skip = _segskip(segmented, Lq)
     block_q = _block(Lq, SKIP_BLOCK if skip else bwd_dflt)
     block_k = _block(Lk, SKIP_BLOCK if skip else bwd_dflt)
-    segq, segk, segmented = _seg_views(seg, B, Lq)
+    # under seg_skip only the STREAMED loops shrink to 128-wide blocks (dq
+    # streams k; dkv streams q) so disjoint-segment blocks exist to skip;
+    # the grid blocks keep their full width (per-program work unchanged)
+    stream_k = _block(Lk, _segskip_block()) if seg_skip else block_k
+    stream_q = _block(Lq, _segskip_block()) if seg_skip else block_q
 
     # delta[b, l, head] = sum_d(dout * out) per head, laid out like lse:
     # [B*HGC, L, C*8G] with lanes [(c*G+g)*8 : +8] = head g of chunk c
@@ -690,9 +786,10 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
         lambda b, h, i, lref: (b, 0, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=block_k, lk=Lk,
+        functools.partial(_bwd_dq_kernel, block_k=stream_k, lk=Lk,
                           scale=scale, rotary=rotary, skip=skip, d=d,
-                          chunks=C, segmented=segmented),
+                          chunks=C, segmented=segmented,
+                          seg_skip=seg_skip),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, HGC, Lq // block_q),
@@ -728,9 +825,10 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
 
     k_map = lambda b, h, j, lref: (b, j, h)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q, lq=Lq,
+        functools.partial(_bwd_dkv_kernel, block_q=stream_q, lq=Lq,
                           scale=scale, rotary=rotary, skip=skip, d=d,
-                          chunks=C, segmented=segmented),
+                          chunks=C, segmented=segmented,
+                          seg_skip=seg_skip),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, HGC, Lk // block_k),

@@ -535,6 +535,63 @@ def test_mha_attention_pairfuse_flag_equivalence(nh, d, monkeypatch):
                                    err_msg=f"d{name} flag mismatch")
 
 
+@pytest.mark.parametrize("nh,d", [(4, 64), (4, 24)])
+def test_mha_attention_segskip_flag_equivalence(nh, d, monkeypatch):
+    """ONEPROT_MHA_SEGSKIP=0 and =1 (segment-aware block skipping: k/q
+    stream blocks whose segment-id ranges are disjoint are provably
+    all-masked and lax.cond-skipped) agree with each other and the
+    reference, forward and grads, with segment boundaries deliberately
+    UNALIGNED to the 128-wide stream blocks."""
+    from oneprot_tpu.kernels.flash_mha import mha_attention
+    from oneprot_tpu.models.esm2 import rotary_cos_sin
+
+    rng = np.random.RandomState(11)
+    B, L = 2, 512
+    hd = nh * d
+    q = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+    # 4 segments with unaligned cuts + a padded (-1) tail on row 1
+    seg_np = np.zeros((B, L), np.int32)
+    for b, cuts in enumerate(([70, 200, 390], [55, 190, 333])):
+        bounds = [0] + list(cuts) + [L]
+        for s in range(4):
+            seg_np[b, bounds[s]:bounds[s + 1]] = s
+    seg_np[1, 470:] = -1
+    seg = jnp.asarray(seg_np)
+    cos, sin = rotary_cos_sin(L, d, jnp.float32)
+    g = jnp.asarray(rng.randn(B, L, hd), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("ONEPROT_MHA_SEGSKIP", flag)
+
+        def loss(q_, k_, v_):
+            o = mha_attention(q_, k_, v_, nh, rope_cos=cos, rope_sin=sin,
+                              segment_ids=seg, interpret=True)
+            return (o, jnp.sum(o * g))
+
+        grads = jax.grad(lambda *a: loss(*a)[1], argnums=(0, 1, 2))(q, k, v)
+        fwd = loss(q, k, v)[0]
+        return fwd, grads
+
+    o0, g0 = run("0")
+    o1, g1 = run("1")
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=2e-4, atol=2e-5)
+    seg_bias = jnp.where(
+        (seg[:, None, :, None] == seg[:, None, None, :]), 0.0, -1e9)
+    ref = _mha_reference(q, k, v, nh, seg_bias, cos, sin)
+    # padded (-1) rows are garbage in/zero out — compare real rows only
+    real = np.asarray(seg_np >= 0)
+    np.testing.assert_allclose(np.asarray(o1)[real], np.asarray(ref)[real],
+                               rtol=2e-4, atol=2e-5,
+                               err_msg="segskip vs reference")
+    for a, b, name in zip(g0, g1, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"d{name} flag mismatch")
+
+
 # ---------------------------------------------------------------------------
 # fused gelu -> int8 quant (kernels/gelu_quant.py)
 
