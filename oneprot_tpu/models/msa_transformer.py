@@ -40,12 +40,21 @@ class TiedRowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, col_bias: jax.Array) -> jax.Array:
-        # x: [B, R, L, H]; col_bias: [B, 1, 1, L] additive key-padding bias
+    def __call__(self, x: jax.Array, col_bias: jax.Array,
+                 pad_mask: jax.Array) -> jax.Array:
+        # x: [B, R, L, H]; col_bias: [B, 1, 1, L] additive key-padding bias;
+        # pad_mask: [B, R, L] 1=valid. q is ZEROED at padded positions
+        # before the tied row sum (fair-esm RowSelfAttention semantics):
+        # from layer 1 a padded row's hiddens vary across positions (column
+        # attention mixes valid rows into it), so without this its q·k
+        # contribution to the shared logits is NOT position-constant and
+        # would perturb valid rows' attention (caught by
+        # tests/test_msa_oracle.py::..._on_padded_input).
         cfg = self.config
         B, R, L, _ = x.shape
         nh, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
         q2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q")(x)
+        q2 = q2 * pad_mask[..., None].astype(q2.dtype)
         k2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k")(x)
         v2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v")(x)
         scale = (hd ** -0.5) * (R ** -0.5)
@@ -105,12 +114,12 @@ class MsaLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, col_bias, row_bias):
+    def __call__(self, x, col_bias, row_bias, pad_mask):
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="row_ln")(x)
         x = x + TiedRowAttention(cfg, dtype=self.dtype, name="row_attn")(
-            h, col_bias)
+            h, col_bias, pad_mask)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="col_ln")(x)
         x = x + ColumnAttention(cfg, dtype=self.dtype, name="col_attn")(
@@ -158,6 +167,6 @@ class MsaTransformer(nn.Module):
 
         for i in range(cfg.num_layers):
             x = MsaLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, col_bias, row_bias)
+                x, col_bias, row_bias, pad_mask)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="emb_ln_after")(x)

@@ -32,6 +32,7 @@ from oneprot_tpu.models.msa_transformer import (  # noqa: E402
 
 V, H, LAYERS, HEADS, FFN = 33, 32, 2, 2, 64
 R, L = 4, 16
+MAXPOS = 24                      # position table covers the padded case too
 PAD = 1
 
 
@@ -76,14 +77,14 @@ class MsaOracle(tnn.Module):
         torch.manual_seed(11)
         self.embed_tokens = tnn.Embedding(V, H)
         # fair-esm LearnedPositionalEmbedding: rows 0..1 are padding offset
-        self.embed_positions = tnn.Embedding(L + 2, H)
+        self.embed_positions = tnn.Embedding(MAXPOS + 2, H)
         self.msa_position_embedding = tnn.Parameter(
             0.01 * torch.randn(1, 1024, 1, H))
         self.emb_layer_norm_before = tnn.LayerNorm(H)
         self.emb_layer_norm_after = tnn.LayerNorm(H)
         self.layers = tnn.ModuleList([_Layer() for _ in range(LAYERS)])
 
-    def forward(self, tokens):  # [B, R, L], no padding
+    def forward(self, tokens):  # [B, R, L]; PAD tokens get fair-esm masking
         B, R_, L_ = tokens.shape
         hd = H // HEADS
         x = self.embed_tokens(tokens)
@@ -93,30 +94,44 @@ class MsaOracle(tnn.Module):
         x = x + self.embed_positions(pos)
         x = x + self.msa_position_embedding[:, :R_]
         x = self.emb_layer_norm_before(x)
+        # fair-esm zeroes padded positions after the embedding LN
+        fmask = mask.unsqueeze(-1).to(x)                    # [B, R, L, 1]
+        x = x * fmask
+        # row attention masks keys with row 0's padding (the query row
+        # defines valid columns); column attention masks rows per column
+        key_pad = (tokens[:, 0] == PAD)                     # [B, L]
+        col_pad = (tokens == PAD)                           # [B, R, L]
 
         def heads(t):
             return t.view(B, R_, L_, HEADS, hd)
 
         for layer in self.layers:
-            # tied row attention: q scaled by 1/sqrt(hd)/sqrt(R), logits
-            # summed over rows, one attention map shared by all rows
+            # tied row attention: q scaled by 1/sqrt(hd)/sqrt(R), zeroed at
+            # padded positions BEFORE the row sum (fair-esm
+            # RowSelfAttention), logits summed over rows, one attention
+            # map shared by all rows, padded keys masked
             h = layer.row_self_attention.layer_norm(x)
             a = layer.row_self_attention.layer
-            q = heads(a.q_proj(h)) * (hd ** -0.5) * (R_ ** -0.5)
+            q = heads(a.q_proj(h) * fmask) * (hd ** -0.5) * (R_ ** -0.5)
             k = heads(a.k_proj(h))
             v = heads(a.v_proj(h))
             logits = torch.einsum("brihd,brjhd->bhij", q, k)
+            logits = logits.masked_fill(
+                key_pad[:, None, None, :], -10000.0)
             probs = torch.softmax(logits, dim=-1)
             ctx = torch.einsum("bhij,brjhd->brihd", probs, v)
             x = x + a.out_proj(ctx.reshape(B, R_, L_, H))
 
-            # column attention: per column, attend over rows
+            # column attention: per column, attend over rows; padded row
+            # entries masked per column
             h = layer.column_self_attention.layer_norm(x)
             a = layer.column_self_attention.layer
             q = heads(a.q_proj(h)) * (hd ** -0.5)
             k = heads(a.k_proj(h))
             v = heads(a.v_proj(h))
             logits = torch.einsum("brlhd,bslhd->blhrs", q, k)
+            logits = logits.masked_fill(
+                col_pad.permute(0, 2, 1)[:, :, None, None, :], -10000.0)
             probs = torch.softmax(logits, dim=-1)
             ctx = torch.einsum("blhrs,bslhd->brlhd", probs, v)
             x = x + a.out_proj(ctx.reshape(B, R_, L_, H))
@@ -137,8 +152,38 @@ def test_msa_transformer_matches_independent_oracle():
 
     cfg = MsaTransformerConfig(
         vocab_size=V, hidden_size=H, num_layers=LAYERS, num_heads=HEADS,
-        intermediate_size=FFN, max_positions=L, max_rows=1024)
+        intermediate_size=FFN, max_positions=MAXPOS, max_rows=1024)
     params = convert_msa1b_state_dict(oracle.state_dict(), LAYERS)
     got = np.asarray(MsaTransformer(cfg).apply(
         {"params": params}, jnp.asarray(tokens)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_msa_transformer_matches_oracle_on_padded_input():
+    """Padded MSAs (pad rows AND pad columns) through fair-esm's exact
+    masking semantics (q zeroed before the tied row sum, keys masked from
+    row 0's padding, column attention masked per column) vs our tower's
+    formulation (zeroed embeddings + additive biases; softmax-invariance
+    argument in docs/ARCHITECTURE.md "Known parity risks"). Valid region
+    only — padded positions are downstream-masked garbage in both. This
+    closes the padding deviation class the unpadded oracle can't see;
+    note the tied-row scale uses the STATIC row count (fair-esm
+    align_scaling), so pad rows legitimately perturb valid outputs in
+    both implementations identically."""
+    oracle = MsaOracle().eval()
+    rng = np.random.RandomState(7)
+    RP, LP = R + 2, L + 4
+    tokens = np.full((2, RP, LP), PAD, np.int32)
+    tokens[:, :R, :L] = rng.randint(4, 24, (2, R, L))
+    tokens[:, :R, 0] = 0  # cls column, still non-pad
+    with torch.no_grad():
+        want = oracle(torch.tensor(tokens.astype(np.int64))).numpy()
+
+    cfg = MsaTransformerConfig(
+        vocab_size=V, hidden_size=H, num_layers=LAYERS, num_heads=HEADS,
+        intermediate_size=FFN, max_positions=MAXPOS, max_rows=1024)
+    params = convert_msa1b_state_dict(oracle.state_dict(), LAYERS)
+    got = np.asarray(MsaTransformer(cfg).apply(
+        {"params": params}, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got[:, :R, :L], want[:, :R, :L],
+                               rtol=1e-4, atol=1e-5)
