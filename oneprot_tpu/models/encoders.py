@@ -325,9 +325,12 @@ class MsaEncoder(nn.Module):
             reps = jax.lax.stop_gradient(reps)  # always frozen in reference
         mask = (tokens != self.config.pad_token_id)
         if self.use_all_msa:
-            m = mask[..., None].astype(reps.dtype)
-            return jnp.sum(reps * m, axis=(1, 2)) / jnp.maximum(
-                jnp.sum(m, axis=(1, 2)), 1.0)
+            # mean over (rows, cols) ~ 10^4 summands: accumulate in f32
+            # (bf16 towers would lose mantissa bits in the running sum)
+            m = mask[..., None].astype(jnp.float32)
+            s = jnp.sum(reps.astype(jnp.float32) * m, axis=(1, 2))
+            cnt = jnp.maximum(jnp.sum(m, axis=(1, 2)), 1.0)
+            return (s / cnt).astype(reps.dtype)
         return self.head.pool(reps[:, 0], mask[:, 0].astype(jnp.int32))
 
     def head_from_pooled(self, pooled: jax.Array) -> jax.Array:
@@ -583,7 +586,7 @@ def create_msa_encoder(
     hidden_size: int = 768,
     num_heads: int = 12,
     intermediate_size: Optional[int] = None,
-    dtype: Any = "float32",
+    dtype: Any = "bfloat16",
 ) -> MsaEncoder:
     del model_name_or_path  # weights come through the checkpoint converter
     cfg = MsaTransformerConfig(

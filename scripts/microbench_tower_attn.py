@@ -81,7 +81,8 @@ def main():
     cos, sin = rotary_cos_sin(L, 32, dtype=jnp.bfloat16)  # d_pad=32
 
     variants = os.environ.get(
-        "TOWER_ATTN_VARIANTS", "baseline,xla").split(",")
+        "TOWER_ATTN_VARIANTS",
+        "baseline,fused,chunked,fused_chunked,xla").split(",")
 
     def pad_half(x):
         # mirror the dispatcher's half-wise pad 24 -> 32 (rotate_half safe)
@@ -92,21 +93,42 @@ def main():
 
     qp, kp, vp, gp = pad_half(q), pad_half(k), pad_half(v), pad_half(g)
 
-    if "baseline" in variants:
-        def fwd(q_, k_, v_):
-            out = fused_mha(q_, k_, v_, H, rope_cos=cos, rope_sin=sin,
-                            segment_ids=seg)
-            assert out is not None
-            return out
+    # kernel variants are env-gated dispatch knobs on the SAME fused_mha
+    # call (the gates read os.environ at trace time; `timed` re-jits per
+    # variant): fused = block-diagonal head packing (one 128-lane QK/PV
+    # dot for the G=4 head group instead of 4 d=32 dots), chunked = all 5
+    # head groups in one program (fewer, fatter programs against the
+    # small-dot issue floor)
+    kernel_envs = {
+        "baseline": {},
+        "fused": {"ONEPROT_MHA_PAIRFUSE": "1"},
+        "chunked": {"ONEPROT_MHA_CHUNKS": f"{L}:5"},
+        "fused_chunked": {"ONEPROT_MHA_PAIRFUSE": "1",
+                          "ONEPROT_MHA_CHUNKS": f"{L}:5"},
+    }
+    for name, env in kernel_envs.items():
+        if name not in variants:
+            continue
+        for key, val in env.items():
+            os.environ[key] = val
+        try:
+            def fwd(q_, k_, v_):
+                out = fused_mha(q_, k_, v_, H, rope_cos=cos, rope_sin=sin,
+                                segment_ids=seg)
+                assert out is not None
+                return out
 
-        def loss(q_, k_, v_):
-            return (fwd(q_, k_, v_).astype(jnp.float32)
-                    * gp.astype(jnp.float32)).sum()
+            def loss(q_, k_, v_):
+                return (fwd(q_, k_, v_).astype(jnp.float32)
+                        * gp.astype(jnp.float32)).sum()
 
-        t_f = timed(fwd, qp, kp, vp)
-        t_fb = timed(jax.grad(loss, argnums=(0, 1, 2)), qp, kp, vp)
-        print(f"baseline fused kernel (d=32): fwd {t_f*1e3:.2f} ms/layer, "
-              f"fwd+bwd {t_fb*1e3:.2f} ms/layer")
+            t_f = timed(fwd, qp, kp, vp)
+            t_fb = timed(jax.grad(loss, argnums=(0, 1, 2)), qp, kp, vp)
+            print(f"{name} fused kernel (d=32): fwd {t_f*1e3:.2f} ms/layer,"
+                  f" fwd+bwd {t_fb*1e3:.2f} ms/layer")
+        finally:
+            for key in env:
+                os.environ.pop(key, None)
 
     if "xla" in variants:
         bias = jnp.where(seg[:, None, :, None] == seg[:, None, None, :],
