@@ -102,9 +102,9 @@ def main():
     kernel_envs = {
         "baseline": {},
         "fused": {"ONEPROT_MHA_PAIRFUSE": "1"},
-        "chunked": {"ONEPROT_MHA_CHUNKS": f"{L}:5"},
+        "chunked": {"ONEPROT_MHA_CHUNKS": f"{L}:2"},
         "fused_chunked": {"ONEPROT_MHA_PAIRFUSE": "1",
-                          "ONEPROT_MHA_CHUNKS": f"{L}:5"},
+                          "ONEPROT_MHA_CHUNKS": f"{L}:2"},
     }
     for name, env in kernel_envs.items():
         if name not in variants:
