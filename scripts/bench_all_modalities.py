@@ -232,6 +232,75 @@ def main():
           f"{combined_ms:.0f} ms -> {rate:.1f} combined pairs/s/chip "
           f"(total wall {time.time()-t_start:.0f}s)", file=sys.stderr)
 
+    # ---- steady state (epoch >= 2): the trainer's frozen-feature-cache
+    # path (train/trainer.py:263-286). Frozen towers' pooled features come
+    # from the cache: text/msa/seqsim run fully-cached (heads only),
+    # trainable-tower modalities run hub-cached (mod tower fwd/bwd, no
+    # 650M hub forward). The cold phase above is epoch 1; THIS is the
+    # production hot loop from the second pass over the data.
+    if os.environ.get("BENCH_ALLMOD_STEADY", "1") != "1":
+        return
+    note("steady state: lowering cached steps")
+    state_shape = jax.eval_shape(lambda s: s, state)
+    built2 = []
+    for name, (seq_xs, mod_xs) in batches.items():
+        cacheable = module.modality_is_cacheable(name)
+        # pooled hub features per step slice (the cache's content); the
+        # pooled executables are shared across modalities
+        seq_pooled = jnp.stack([
+            module.encode_pooled(state.params, "sequence", seq_xs[s])
+            for s in range(STEPS)])
+        if cacheable:
+            mod_pooled = jnp.stack([
+                module.encode_pooled(state.params, name, mod_xs[s])
+                for s in range(STEPS)])
+            step_fn = module.train_step_fully_cached_fn(name)
+            xs = (seq_pooled, mod_pooled)
+        else:
+            step_fn = module.train_step_cached_fn(name)
+            xs = (seq_pooled, mod_xs)
+
+        def k_steps(state, a, b, step_fn=step_fn):
+            def body(st, x):
+                st2, loss = step_fn(st, x[0], x[1])
+                return st2, loss
+
+            return jax.lax.scan(body, state, (a, b))
+
+        lowered = jax.jit(k_steps, donate_argnums=0).lower(
+            state_shape, *xs)
+        note(f"{name}: lowered ({'fully-cached' if cacheable else 'hub-cached'})")
+        built2.append((name, cacheable, xs,
+                       AsyncCompile(lowered, f"allmod-steady {name}")))
+
+    results2 = {}
+    for name, cacheable, xs, ac in built2:
+        run = ac.get()
+        t0 = time.time()
+        state, losses = run(state, *xs)
+        first = time.time() - t0
+        note(f"{name}: first {STEPS} cached steps {first:.1f}s "
+             f"loss={float(losses[-1]):.3f}")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            state, losses = run(state, *xs)
+            float(losses[-1])
+            best = min(best, time.time() - t0)
+        ms = best / STEPS * 1000
+        results2[name] = ms
+        note(f"{name}: {ms:.1f} ms/cached-sub-step "
+             f"({B / (best / STEPS):.1f} pairs/s)")
+
+    combined2 = sum(results2.values())
+    rate2 = B * len(results2) / (combined2 / 1000) / max(n_chips, 1)
+    print(f"# steady per-modality ms/sub-step: "
+          f"{ {k: round(v, 1) for k, v in results2.items()} }",
+          file=sys.stderr)
+    print(f"# steady combined step ({len(results2)} sub-steps x {B} pairs):"
+          f" {combined2:.0f} ms -> {rate2:.1f} combined pairs/s/chip "
+          f"(total wall {time.time()-t_start:.0f}s)", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -119,6 +119,149 @@ def main():
         t = timed(col, q5, k5, v5)
         print(f"col_attn: {t*1e3:.2f} ms/layer-equiv "
               f"(x{LAYERS} = {t*LAYERS*1e3:.0f} ms)")
+
+    if "col_lanes" in variants:
+        # same dots, but logits laid out [b,h,r,s,l]: l=256 fills the
+        # lane dim instead of s=50 (which pads to 128) — probes whether
+        # the baseline cost is layout, not dot issue
+        def col_lanes(q, k, v):
+            logits = jnp.einsum("brlhd,bslhd->bhrsl", q, k,
+                                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(logits, axis=-2).astype(v.dtype)
+            return jnp.einsum("bhrsl,bslhd->brlhd", p, v,
+                              preferred_element_type=jnp.float32)
+
+        t = timed(col_lanes, q5, k5, v5)
+        print(f"col_lanes: {t*1e3:.2f} ms/layer-equiv "
+              f"(x{LAYERS} = {t*LAYERS*1e3:.0f} ms)")
+
+    # Block-diagonal head packing: the baseline decomposes into B*L*nh
+    # tiny [R,hd]x[hd,R] dots (half-lane contraction, R/128 output fill)
+    # that are MXU weight-load/issue-bound. Packing G heads gives one
+    # [R, G*hd] x [G*hd, G*R] dot per head group — G x fewer dots, full
+    # 128-lane contraction at G=2 — at the cost of materializing the
+    # G x larger block-diagonal k/v (zeros fraction 1-1/G).
+    for name in [v for v in variants if v.startswith("col_pack")]:
+        G = int(name[len("col_pack"):])
+
+        def col_packed(q, k, v, G=G):
+            B_, R_, L_, nh_, hd_ = q.shape
+            NG = nh_ // G
+            eye = jnp.eye(G, dtype=q.dtype)
+            # [B,L,NG,R,G*hd]
+            qc = q.transpose(0, 2, 3, 1, 4).reshape(
+                B_, L_, NG, G, R_, hd_).transpose(0, 1, 2, 4, 3, 5).reshape(
+                B_, L_, NG, R_, G * hd_)
+            k6 = k.transpose(0, 2, 3, 1, 4).reshape(B_, L_, NG, G, R_, hd_)
+            v6 = v.transpose(0, 2, 3, 1, 4).reshape(B_, L_, NG, G, R_, hd_)
+            # k_bd [B,L,NG, G*hd, G*R]: kbd[...,i*hd+d, j*R+s] =
+            # k6[...,i,s,d] * eye[i,j]
+            kbd = jnp.einsum("blnisd,ij->blnidjs", k6, eye).reshape(
+                B_, L_, NG, G * hd_, G * R_)
+            logits = jnp.matmul(qc, kbd,
+                                preferred_element_type=jnp.float32)
+            logits = logits.reshape(B_, L_, NG, R_, G, R_)
+            p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            pc = p.reshape(B_, L_, NG, R_, G * R_)
+            # v_bd [B,L,NG, G*R, G*hd]: vbd[...,i*R+s, j*hd+d] =
+            # v6[...,i,s,d] * eye[i,j]
+            vbd = jnp.einsum("blnisd,ij->blnisjd", v6, eye).reshape(
+                B_, L_, NG, G * R_, G * hd_)
+            ctx = jnp.matmul(pc, vbd, preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(B_, L_, NG, R_, G, hd_).transpose(
+                0, 3, 1, 2, 4, 5).reshape(B_, R_, L_, nh_, hd_)
+            return ctx
+
+        # numerics vs baseline once per G (same math, f32 accumulation)
+        def col_ref(q, k, v):
+            logits = jnp.einsum("brlhd,bslhd->blhrs", q, k,
+                                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            return jnp.einsum("blhrs,bslhd->brlhd", p, v,
+                              preferred_element_type=jnp.float32)
+
+        qs, ks, vs = q5[:2, :, :64], k5[:2, :, :64], v5[:2, :, :64]
+        ref = col_ref(qs, ks, vs)
+        got = col_packed(qs, ks, vs)
+        err = float(jnp.max(jnp.abs(ref - got)) /
+                    (float(jnp.max(jnp.abs(ref))) + 1e-9))
+        t = timed(col_packed, q5, k5, v5)
+        print(f"col_pack{G}: {t*1e3:.2f} ms/layer-equiv "
+              f"(x{LAYERS} = {t*LAYERS*1e3:.0f} ms)  max-rel-err {err:.1e}")
+    # Column stacking: pack G columns into one attention "sequence" of
+    # G*R rows and mask cross-column logits. Dots grow to [G*R,hd]x[hd,G*R]
+    # (better sublane fill, G x fewer dots) WITHOUT materializing
+    # block-diagonal k/v — only reshapes + an additive mask. FLOPs grow
+    # G x but the baseline runs <1% MXU, so FLOPs are free here.
+    def _stack_cols(x, G):
+        B_, R_, L_, nh_, hd_ = x.shape
+        # [B, L/G, G*R, nh, hd] with rows grouped column-major (all R rows
+        # of column g are contiguous)
+        return x.transpose(0, 2, 1, 3, 4).reshape(
+            B_, L_ // G, G * R_, nh_, hd_)
+
+    def col_ref(q, k, v):
+        logits = jnp.einsum("brlhd,bslhd->blhrs", q, k,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("blhrs,bslhd->brlhd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    for name in [v for v in variants if v.startswith("col_stack")]:
+        G = int(name[len("col_stack"):])
+
+        def col_stacked(q, k, v, G=G):
+            B_, R_, L_, nh_, hd_ = q.shape
+            qs, ks, vs = (_stack_cols(x, G) for x in (q, k, v))
+            seg = jnp.arange(G * R_) // R_
+            mask = jnp.where(seg[:, None] == seg[None, :], 0.0, -1e30)
+            logits = jnp.einsum("blphd,blqhd->blhpq", qs, ks,
+                                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(logits + mask, axis=-1).astype(v.dtype)
+            ctx = jnp.einsum("blhpq,blqhd->blphd", p, vs,
+                             preferred_element_type=jnp.float32)
+            return ctx.reshape(B_, L_ // G, G, R_, nh_, hd_).transpose(
+                0, 3, 1, 2, 4, 5).reshape(B_, R_, L_, nh_, hd_)
+
+        qs_, ks_, vs_ = q5[:2, :, :64], k5[:2, :, :64], v5[:2, :, :64]
+        err = float(jnp.max(jnp.abs(col_ref(qs_, ks_, vs_) -
+                                    col_stacked(qs_, ks_, vs_))) /
+                    (float(jnp.max(jnp.abs(col_ref(qs_, ks_, vs_)))) + 1e-9))
+        t = timed(col_stacked, q5, k5, v5)
+        print(f"col_stack{G}: {t*1e3:.2f} ms/layer-equiv "
+              f"(x{LAYERS} = {t*LAYERS*1e3:.0f} ms)  max-rel-err {err:.1e}")
+
+    for name in [v for v in variants if v.startswith("col_flash")]:
+        G = int(name[len("col_flash"):])
+
+        def col_flash(q, k, v, G=G):
+            from oneprot_tpu.kernels import flash_mha
+            B_, R_, L_, nh_, hd_ = q.shape
+            P = G * R_
+            Pp = -(-P // 128) * 128   # kernel wants 128-multiple seq
+            qs, ks, vs = (jnp.pad(
+                _stack_cols(x, G).reshape(B_ * (L_ // G), P, nh_ * hd_),
+                ((0, 0), (0, Pp - P), (0, 0))) for x in (q, k, v))
+            # pad rows get their own segment id G: they only attend to
+            # each other (no NaNs) and are sliced off below
+            seg = jnp.broadcast_to(
+                jnp.minimum(jnp.arange(Pp, dtype=jnp.int32) // R_, G)[None],
+                (B_ * (L_ // G), Pp))
+            # the kernel applies 1/sqrt(hd); the reference einsum has no
+            # scale, so pre-multiply q to cancel it
+            ctx = flash_mha.mha_attention(
+                qs * (hd_ ** 0.5), ks, vs, nh_, segment_ids=seg)[:, :P]
+            return ctx.reshape(B_, L_ // G, G, R_, nh_, hd_).transpose(
+                0, 3, 1, 2, 4, 5).reshape(B_, R_, L_, nh_, hd_)
+
+        qs_, ks_, vs_ = q5[:2, :, :64], k5[:2, :, :64], v5[:2, :, :64]
+        err = float(jnp.max(jnp.abs(col_ref(qs_, ks_, vs_) -
+                                    col_flash(qs_, ks_, vs_))) /
+                    (float(jnp.max(jnp.abs(col_ref(qs_, ks_, vs_)))) + 1e-9))
+        t = timed(col_flash, q5, k5, v5)
+        print(f"col_flash{G}: {t*1e3:.2f} ms/layer-equiv "
+              f"(x{LAYERS} = {t*LAYERS*1e3:.0f} ms)  max-rel-err {err:.1e}")
+
     if "gemms" in variants:
         x = jnp.asarray(rng.randn(B * R * L, H), jnp.bfloat16)
         w1 = jnp.asarray(rng.randn(H, 4 * H) * 0.02, jnp.bfloat16)
