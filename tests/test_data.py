@@ -220,3 +220,140 @@ def test_struct_token_lengths_match_data(tmp_path):
         seq_in, _, _, seqs = ds.collate_fn([ds[i]])
         true_len = len(seqs[0]) + 2
         assert lens[i] == true_len, (lens[i], true_len)
+
+
+# ---------------------------------------------------------------------------
+# Value-parity vs the reference's own torch dihedral code (VERDICT r4 #5):
+# the property test above pins invariants only; these pin exact VALUES of
+# compute_dihedrals / backbone_embeddings / side_chain_embeddings /
+# atom_positions against /root/reference/src/data/utils/struct_graph_utils.py
+# (lines 31-144) executed directly (torch_geometric stubbed; torch/h5py/scipy
+# are installed). Closes the last offline-closable slice of the GNN input
+# contract (SURVEY hard-part 2).
+# ---------------------------------------------------------------------------
+
+_REF_SGU = "/root/reference/src/data/utils/struct_graph_utils.py"
+
+
+@pytest.fixture(scope="session")
+def ref_sgu(tmp_path_factory):
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    if not os.path.exists(_REF_SGU):
+        pytest.skip("reference checkout not available")
+    if "ref_struct_graph_utils" in sys.modules:
+        return sys.modules["ref_struct_graph_utils"]
+    # the reference imports torch_geometric (not installed here) only for
+    # the Data/InMemoryDataset containers its protein_to_graph returns —
+    # the math under test never touches them, so stub the module surface
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tgd = types.ModuleType("torch_geometric.data")
+        tgd.Data = type("Data", (), {})
+        tgd.InMemoryDataset = type("InMemoryDataset", (), {})
+        tg.data = tgd
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.data"] = tgd
+    # its module body calls logging.basicConfig(filename='create_dataset.log')
+    # which creates a file in cwd: import from a throwaway directory
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("ref_import"))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_struct_graph_utils", _REF_SGU)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_struct_graph_utils"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        os.chdir(cwd)
+    return mod
+
+
+def test_compute_dihedrals_value_parity(ref_sgu):
+    import torch
+
+    rng = np.random.RandomState(3)
+    v1 = rng.randn(64, 3)
+    v2 = rng.randn(64, 3)
+    v3 = rng.randn(64, 3)
+    # v2=0 exercises both nan_to_num branches (0/0 -> atan2(0,0) -> 0).
+    # EXACTLY-parallel vectors are deliberately absent: their cross product
+    # is rounding noise (~1e-18) in torch but exactly 0 in numpy, so the
+    # resulting angle is undefined in both; near-parallel rows are the
+    # stable version of that edge.
+    v2[5] = 0.0
+    v3[9] = v2[9] + 1e-3 * rng.randn(3)
+    v1[17] = v2[17] + 1e-3 * rng.randn(3)
+    ours = G.compute_dihedrals(v1, v2, v3)
+    theirs = ref_sgu.compute_diherals(
+        torch.tensor(v1), torch.tensor(v2), torch.tensor(v3)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_backbone_embeddings_value_parity(ref_sgu):
+    import torch
+
+    rng = np.random.RandomState(4)
+    n = 23
+    pos_ca = np.cumsum(rng.normal(3.8, 0.2, (n, 3)), axis=0)
+    pos_n = pos_ca + rng.normal(0, 0.6, (n, 3))
+    pos_c = pos_ca + rng.normal(0, 0.6, (n, 3))
+    ours = G.backbone_embeddings(pos_n, pos_ca, pos_c)
+    X = torch.cat([torch.tensor(p, dtype=torch.float64).unsqueeze(1)
+                   for p in (pos_n, pos_ca, pos_c)], dim=1)
+    theirs = ref_sgu.calc_bb_embs(X)
+    theirs = torch.nan_to_num(theirs).numpy()  # protein_to_graph NaN->0 (ref :212)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def _synthetic_atoms(rng, n_res):
+    """Per-residue atom records covering every torsion group, with gaps:
+    glycine-like residues (no CB and beyond) and partial side chains."""
+    names, amino_id, pos = [], [], []
+    full = ["N", "CA", "C", "CB", "CG", "CD", "CE", "CZ", "NH1"]
+    variants = ["SG", "OG", "CG1", "OG1", "SD", "CD1", "OD1", "ND1",
+                "NE", "OE1", "NZ"]
+    for r in range(n_res):
+        atoms = list(full)
+        if r % 5 == 1:
+            atoms = ["N", "CA", "C"]          # glycine-like
+        elif r % 5 == 2:
+            atoms = ["N", "CA", "C", "CB", "SG"]  # cysteine-like
+        elif r % 5 == 3:
+            # variant group members (e.g. OD1 for aspartate)
+            atoms = ["N", "CA", "C", "CB", rng.choice(variants)]
+        elif r % 5 == 4:
+            atoms = ["CA", "C"]               # missing N -> CA fallback
+        for a in atoms:
+            names.append(a)
+            amino_id.append(r * 10 + 3)  # non-contiguous ids (unique/inverse)
+            pos.append(rng.normal(0, 5, 3))
+    return (np.asarray(names), np.asarray(amino_id, np.int64),
+            np.asarray(pos, np.float64))
+
+
+def test_atom_positions_and_side_chain_value_parity(ref_sgu):
+    import torch
+
+    rng = np.random.RandomState(5)
+    n_res = 17
+    names, amino_id, pos = _synthetic_atoms(rng, n_res)
+    ours_pos = G.atom_positions(n_res, names, amino_id, pos)
+    ref_out = ref_sgu.get_atom_pos(list(range(n_res)), names, amino_id, pos)
+    keys = ("n", "ca", "c", "cb", "g", "d", "e", "z", "h")
+    for key, theirs in zip(keys, ref_out):
+        np.testing.assert_allclose(
+            ours_pos[key], theirs.numpy(), atol=1e-5, equal_nan=True,
+            err_msg=f"atom group '{key}' disagrees with reference")
+
+    ours_sc = G.side_chain_embeddings(ours_pos)
+    theirs_sc = ref_sgu.calc_side_chain_embs(
+        *[torch.tensor(t, dtype=torch.float64) for t in
+          (ours_pos["n"], ours_pos["ca"], ours_pos["c"], ours_pos["cb"],
+           ours_pos["g"], ours_pos["d"], ours_pos["e"], ours_pos["z"],
+           ours_pos["h"])])
+    theirs_sc = torch.nan_to_num(theirs_sc).numpy()  # ref :208 NaN->0
+    np.testing.assert_allclose(ours_sc, theirs_sc, atol=1e-5)
