@@ -22,10 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite compiles many tiny train/eval steps
-# repeatedly across tests and runs; caching them cuts suite time drastically
-_CACHE_DIR = os.environ.get(
-    "ONEPROT_TEST_JIT_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jit_cache"))
+# repeatedly across tests and runs; caching them cuts suite time drastically.
+# Keyed under a per-host fingerprint subdir so a checkout that migrates
+# across machines never replays XLA:CPU AOT entries compiled for a
+# different CPU (SIGILL risk; see core/mesh.py:host_cache_fingerprint).
+from oneprot_tpu.core.mesh import host_cache_fingerprint  # noqa: E402
+
+_CACHE_DIR = os.path.join(
+    os.environ.get(
+        "ONEPROT_TEST_JIT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jit_cache")),
+    host_cache_fingerprint())
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -27,6 +27,34 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def host_cache_fingerprint() -> str:
+    """Short hash of the host's codegen-relevant identity.
+
+    XLA:CPU AOT cache entries encode the compiling host's CPU features;
+    replaying them on a different CPU risks SIGILL (XLA warns on every such
+    load, and one observed failure mode was a multi-device rendezvous abort
+    mid-collective). Keying the cache path on (jax version, arch, CPU
+    feature flags) makes entries from a different host invisible — a cold
+    recompile instead of undefined behavior. TPU executables are
+    host-independent, but re-keying them too only costs one recompile after
+    a host migration, never correctness.
+    """
+    import hashlib
+    import platform
+
+    parts = [jax.__version__, platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(
+                        " ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return "hw-" + hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(
         cache_dir: Optional[str] = None) -> None:
     """Persistent XLA compilation cache for production entry points.
@@ -34,7 +62,9 @@ def enable_compilation_cache(
     The 650M-hub train step costs minutes to compile (more through a
     tunneled backend); caching makes warm starts compile in seconds.
     Round-1 wired this up only in tests (VERDICT r1 weak #3) — every entry
-    point now calls it.
+    point now calls it. Entries live under a per-host fingerprint subdir
+    (see host_cache_fingerprint) so a cache directory that migrates across
+    machines never replays foreign XLA:CPU AOT code.
     """
     # default INSIDE the repo: /tmp does not survive machine restarts,
     # the checkout does — warm starts then skip the multi-minute compile
@@ -48,6 +78,7 @@ def enable_compilation_cache(
         default_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "oneprot_jit")
     cache_dir = cache_dir or os.environ.get("ONEPROT_JIT_CACHE", default_dir)
+    cache_dir = os.path.join(cache_dir, host_cache_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

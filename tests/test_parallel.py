@@ -235,3 +235,30 @@ def test_meshed_module_survives_meshless_init(tiny):
     _, loss_s = single.train_step(
         single.state, "struct_token", seq_long, st_long)
     np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-5)
+
+
+def test_host_cache_fingerprint_scopes_cache_dir(tmp_path, monkeypatch):
+    """The persistent compile cache is keyed under a per-host subdir.
+
+    XLA:CPU AOT entries encode the compiling host's CPU features; replaying
+    them on a different CPU risks SIGILL. `enable_compilation_cache` must
+    therefore scope any configured directory (default, env, or explicit)
+    under `host_cache_fingerprint()` (VERDICT r4 next-step 2).
+    """
+    from oneprot_tpu.core import mesh as mesh_lib
+
+    fp = mesh_lib.host_cache_fingerprint()
+    assert fp.startswith("hw-") and len(fp) == len("hw-") + 12
+    assert fp == mesh_lib.host_cache_fingerprint()  # deterministic
+
+    seen = {}
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: seen.__setitem__(k, v))
+    mesh_lib.enable_compilation_cache(str(tmp_path))
+    assert seen["jax_compilation_cache_dir"] == str(tmp_path / fp)
+
+    # the env override is fingerprint-scoped too
+    seen.clear()
+    monkeypatch.setenv("ONEPROT_JIT_CACHE", str(tmp_path / "envdir"))
+    mesh_lib.enable_compilation_cache()
+    assert seen["jax_compilation_cache_dir"] == str(tmp_path / "envdir" / fp)
