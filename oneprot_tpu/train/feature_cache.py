@@ -19,22 +19,165 @@ Memory: entries * d_model * 4 bytes (650M hub: 1M samples -> ~5 GB host
 RAM); cap with max_entries. Eviction is LRU (round-2's insert-stop policy
 permanently pinned whichever rows arrived first and recomputed everything
 else forever — the worst case when the cap binds; advisor/VERDICT r2 #8).
+
+Persistence (VERDICT r4 next-step 3): pass `persist_dir` and every computed
+row is ALSO appended to an on-disk shard store (`DiskFeatureStore`), and
+RAM misses fall back to a disk lookup before recomputing. This turns the
+steady-state speedup from a per-process property into a per-dataset one:
+the chain-resubmission workflow (scripts/start_training_chain.sh) restarts
+the process every job, and without persistence every link re-paid the full
+epoch-1 hub cost. Disk size: entries * (d_model * 4 + key) bytes — ~5.3 GB
+per 1M samples at d=1280; cap RAM with max_entries (the disk store is
+append-only and uncapped; delete the directory to reclaim space).
 """
 
 from __future__ import annotations
 
+import os
+import struct
 from collections import OrderedDict
 from typing import Optional
 
 import numpy as np
 
 
+class DiskFeatureStore:
+    """Append-only persistent shard store for pooled feature rows.
+
+    Layout: `<dir>/shard-<pid>-<seq>.idx/.bin` pairs. The `.bin` holds raw
+    little-endian float32 row data back to back; the `.idx` frames each
+    entry as `[key_len:u32][dim:u32][offset:u64][key bytes]`. Each process
+    appends to its OWN shard pair (name unique per pid + counter), so
+    concurrent chain links never contend and no locking is needed; readers
+    merge every shard's index at open (last writer wins on duplicate keys
+    — rows for a given key are identical by construction, the hub is
+    frozen). Row reads go through np.memmap, so the OS page cache — not
+    this process — owns the resident set; a warm restart touches only the
+    pages it actually reads.
+
+    Rows are stored as float32 (pooled features are f32-accumulated;
+    bf16 inputs upcast losslessly).
+    """
+
+    MAGIC = b"OPFC1\n"
+
+    def __init__(self, directory: str, flush_every: int = 256):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self._index: dict = {}  # key -> (bin_path, offset, dim)
+        self._mmaps: dict = {}  # bin_path -> np.memmap
+        self._load_existing()
+        self._flush_every = max(int(flush_every), 1)
+        self._pending = 0
+        self._own_bin = None  # opened lazily on first append
+        self._own_idx = None
+        self._own_path = None
+        self._own_off = 0
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def _load_existing(self) -> None:
+        for name in sorted(os.listdir(self.dir)):
+            if not name.endswith(".idx"):
+                continue
+            idx_path = os.path.join(self.dir, name)
+            bin_path = idx_path[:-4] + ".bin"
+            if not os.path.exists(bin_path):
+                continue
+            try:
+                with open(idx_path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                continue
+            if not data.startswith(self.MAGIC):
+                continue
+            pos = len(self.MAGIC)
+            n = len(data)
+            while pos + 16 <= n:
+                key_len, dim, off = struct.unpack_from("<IIQ", data, pos)
+                pos += 16
+                if pos + key_len > n:
+                    break  # torn tail (killed mid-write): ignore
+                key = data[pos:pos + key_len]
+                pos += key_len
+                self._index[key] = (bin_path, off, dim)
+
+    def _open_own_shard(self) -> None:
+        seq = 0
+        while True:
+            stem = os.path.join(self.dir, f"shard-{os.getpid()}-{seq}")
+            try:
+                # x-mode: never append to a file another (or a previous,
+                # same-pid) writer produced — offsets must stay consistent
+                self._own_idx = open(stem + ".idx", "xb")
+                break
+            except FileExistsError:
+                seq += 1
+        self._own_bin = open(stem + ".bin", "wb")
+        self._own_path = stem + ".bin"
+        self._own_idx.write(self.MAGIC)
+        self._own_off = 0
+
+    def lookup(self, key: bytes) -> Optional[np.ndarray]:
+        ent = self._index.get(key)
+        if ent is None:
+            return None
+        bin_path, off, dim = ent
+        if bin_path == self._own_path:
+            # rows this process wrote may still sit in the stdio buffer
+            self._own_bin.flush()
+        mm = self._mmaps.get(bin_path)
+        if mm is None:
+            try:
+                mm = np.memmap(bin_path, dtype=np.float32, mode="r")
+            except (OSError, ValueError):
+                return None
+            self._mmaps[bin_path] = mm
+        if off + dim > mm.shape[0]:
+            return None  # torn row
+        return np.array(mm[off:off + dim])  # copy out of the map
+
+    def append(self, key: bytes, row: np.ndarray) -> None:
+        if key in self._index:
+            return
+        if self._own_bin is None:
+            self._open_own_shard()
+        row32 = np.ascontiguousarray(np.asarray(row, np.float32))
+        self._own_bin.write(row32.tobytes())
+        self._own_idx.write(
+            struct.pack("<IIQ", len(key), row32.shape[-1], self._own_off))
+        self._own_idx.write(key)
+        self._index[key] = (self._own_path, self._own_off, row32.shape[-1])
+        self._own_off += row32.shape[-1]
+        self._pending += 1
+        if self._pending >= self._flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._own_bin is not None:
+            self._own_bin.flush()
+            self._own_idx.flush()
+        self._pending = 0
+
+    def close(self) -> None:
+        self.flush()
+        if self._own_bin is not None:
+            self._own_bin.close()
+            self._own_idx.close()
+            self._own_bin = self._own_idx = self._own_path = None
+
+
 class FrozenFeatureCache:
-    def __init__(self, max_entries: Optional[int] = None):
+    def __init__(self, max_entries: Optional[int] = None,
+                 persist_dir: Optional[str] = None):
         self._store: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
         self.max_entries = max_entries
+        self._disk = (DiskFeatureStore(persist_dir)
+                      if persist_dir else None)
         self.hits = 0
         self.misses = 0
+        self.disk_hits = 0
 
     def __len__(self) -> int:
         return len(self._store)
@@ -42,21 +185,41 @@ class FrozenFeatureCache:
     def stats(self) -> dict:
         """hit/miss/occupancy snapshot for validation-point logging."""
         total = self.hits + self.misses
-        return {
+        out = {
             "cache/hits": float(self.hits),
             "cache/misses": float(self.misses),
             "cache/hit_rate": (self.hits / total) if total else 0.0,
             "cache/entries": float(len(self._store)),
         }
+        if self._disk is not None:
+            out["cache/disk_hits"] = float(self.disk_hits)
+            out["cache/disk_entries"] = float(len(self._disk))
+        return out
+
+    def flush(self) -> None:
+        """Push write-behind rows to disk (no-op without persist_dir)."""
+        if self._disk is not None:
+            self._disk.flush()
+
+    def close(self) -> None:
+        if self._disk is not None:
+            self._disk.close()
 
     # -- LRU primitives -------------------------------------------------
     def _lookup(self, key: bytes) -> Optional[np.ndarray]:
         row = self._store.get(key)
         if row is not None:
             self._store.move_to_end(key)
-        return row
+            return row
+        if self._disk is not None:
+            row = self._disk.lookup(key)
+            if row is not None:
+                self.disk_hits += 1
+                self._insert_ram(key, row)  # promote into the RAM LRU
+                return row
+        return None
 
-    def _insert(self, key: bytes, row: np.ndarray) -> None:
+    def _insert_ram(self, key: bytes, row: np.ndarray) -> None:
         if key in self._store:
             self._store.move_to_end(key)
             return
@@ -64,6 +227,11 @@ class FrozenFeatureCache:
                 and len(self._store) >= self.max_entries):
             self._store.popitem(last=False)  # evict least-recently-used
         self._store[key] = row
+
+    def _insert(self, key: bytes, row: np.ndarray) -> None:
+        self._insert_ram(key, row)
+        if self._disk is not None:
+            self._disk.append(key, row)  # write-behind (flush_every)
 
     # -- unpacked batches ----------------------------------------------
     def get_pooled(self, module, seq_inputs,

@@ -86,6 +86,7 @@ class Trainer:
         detect_anomaly: bool = False,
         cache_frozen_features: bool = True,
         cache_max_entries: Optional[int] = None,
+        cache_persist_dir: Optional[str] = None,
         **unused: Any,
     ):
         if detect_anomaly:
@@ -109,6 +110,7 @@ class Trainer:
         self.profiler = profiler
         self.cache_frozen_features = cache_frozen_features
         self.cache_max_entries = cache_max_entries
+        self.cache_persist_dir = cache_persist_dir
         self._feature_cache = None
         self.output_dir = default_root_dir or "."
         mesh_cfg = mesh or {}
@@ -121,6 +123,24 @@ class Trainer:
         self.callbacks: Dict[str, Any] = {}
         self.logger = None
         self.metrics_history: Dict[str, float] = {}
+
+    def _get_feature_cache(self):
+        """Lazily build the frozen-feature cache. With cache_persist_dir
+        set, computed rows also land in an on-disk shard store and a fresh
+        process (chain-resubmitted job, crash restart) warm-starts at
+        cached speed instead of re-paying the epoch-1 hub cost (VERDICT r4
+        next-step 3)."""
+        if self._feature_cache is None:
+            from oneprot_tpu.train.feature_cache import FrozenFeatureCache
+
+            self._feature_cache = FrozenFeatureCache(
+                self.cache_max_entries,
+                persist_dir=self.cache_persist_dir)
+            if self.cache_persist_dir:
+                log.info(
+                    f"feature cache persists to {self.cache_persist_dir} "
+                    f"({len(self._feature_cache._disk)} rows warm-loaded)")
+        return self._feature_cache
 
     def _select_devices(self):
         devs = jax.devices()
@@ -243,12 +263,7 @@ class Trainer:
                                 # features (keyed by token subsequence, so
                                 # hits survive epoch re-packing) + packed
                                 # trainable tower only
-                                if self._feature_cache is None:
-                                    from oneprot_tpu.train.feature_cache \
-                                        import FrozenFeatureCache
-
-                                    self._feature_cache = FrozenFeatureCache(
-                                        self.cache_max_entries)
+                                self._get_feature_cache()
                                 pooled = self._feature_cache.get_pooled_packed(
                                     module, seq_in["ids"],
                                     seq_in["segment_ids"], extra)
@@ -265,13 +280,7 @@ class Trainer:
                             # frozen backbones: skip their forwards for
                             # rows seen before (feature_cache.py); frozen
                             # modality towers (text/MSA/seqsim) cache too
-                            if self._feature_cache is None:
-                                from oneprot_tpu.train.feature_cache import (
-                                    FrozenFeatureCache,
-                                )
-
-                                self._feature_cache = FrozenFeatureCache(
-                                    self.cache_max_entries)
+                            self._get_feature_cache()
                             pooled = self._feature_cache.get_pooled(
                                 module, seq_in)
                             if module.modality_is_cacheable(modality):
@@ -343,6 +352,10 @@ class Trainer:
         finally:
             if self.profiler == "jax":
                 jax.profiler.stop_trace()
+            if self._feature_cache is not None:
+                # persist write-behind rows even when fit() raises — the
+                # chain-resubmitted successor job is exactly who needs them
+                self._feature_cache.flush()
         # expose the realized optimizer-step count: a silently-empty train
         # loop (e.g. loader misconfiguration) must be visible to callers
         # and tests, not just a log warning
@@ -359,6 +372,7 @@ class Trainer:
         if self._feature_cache is not None:
             # hit/miss/occupancy at every validation point (VERDICT r2 #8)
             metrics.update(self._feature_cache.stats())
+            self._feature_cache.flush()  # bound loss on crash to <1 val span
         self.logger.log_metrics(metrics, self.global_step)
         self.metrics_history.update(metrics)
         if "checkpoint" in self.callbacks:

@@ -349,3 +349,131 @@ def test_lru_eviction_beats_insert_stop_on_skewed_access():
         return hits / (hits + misses)
 
     assert run_lru() > run_insert_stop()
+
+
+# -- disk persistence (VERDICT r4 next-step 3) ---------------------------
+
+def test_disk_store_roundtrip_and_reopen(tmp_path):
+    """Append/lookup within a process, then a 'restarted process' (fresh
+    store over the same directory) warm-loads every row bit-exactly and
+    appends to its own shard without touching existing ones."""
+    from oneprot_tpu.train.feature_cache import DiskFeatureStore
+
+    d = str(tmp_path / "feat")
+    rng = np.random.RandomState(0)
+    rows = {b"k%d" % i: rng.randn(8).astype(np.float32) for i in range(10)}
+    s = DiskFeatureStore(d)
+    for k, v in rows.items():
+        s.append(k, v)
+    for k, v in rows.items():  # read-back through the write-behind buffer
+        np.testing.assert_array_equal(s.lookup(k), v)
+    assert s.lookup(b"absent") is None
+    s.close()
+
+    s2 = DiskFeatureStore(d)
+    assert len(s2) == 10
+    for k, v in rows.items():
+        np.testing.assert_array_equal(s2.lookup(k), v)
+    s2.append(b"new", np.ones(8, np.float32))
+    s2.append(b"k0", np.zeros(8, np.float32))  # dup: ignored, not rewritten
+    s2.close()
+
+    s3 = DiskFeatureStore(d)
+    assert len(s3) == 11
+    np.testing.assert_array_equal(s3.lookup(b"k0"), rows[b"k0"])
+    import os as _os
+
+    assert len([f for f in _os.listdir(d) if f.endswith(".idx")]) == 2
+
+
+def test_disk_store_tolerates_torn_writes(tmp_path):
+    """A process killed mid-write leaves a torn index or data tail; the
+    next open must load every complete row and drop the torn one."""
+    from oneprot_tpu.train.feature_cache import DiskFeatureStore
+
+    d = str(tmp_path / "feat")
+    s = DiskFeatureStore(d)
+    for i in range(3):
+        s.append(b"key-%d" % i, np.full(4, float(i), np.float32))
+    s.close()
+    import glob
+    import os as _os
+
+    idx = glob.glob(_os.path.join(d, "*.idx"))[0]
+    with open(idx, "rb+") as f:
+        f.truncate(_os.path.getsize(idx) - 5)  # tear the LAST record
+    s2 = DiskFeatureStore(d)
+    assert len(s2) == 2
+    np.testing.assert_array_equal(s2.lookup(b"key-1"),
+                                  np.full(4, 1.0, np.float32))
+
+    bin_path = glob.glob(_os.path.join(d, "*.bin"))[0]
+    with open(bin_path, "rb+") as f:
+        # cut into key-1's row data (rows are 4 floats = 16 B each; drop
+        # the last 5 floats so key-1's span [4:8) exceeds the file)
+        f.truncate(_os.path.getsize(bin_path) - 20)
+    s3 = DiskFeatureStore(d)
+    assert s3.lookup(b"key-1") is None  # torn row: recompute, don't crash
+    np.testing.assert_array_equal(s3.lookup(b"key-0"),
+                                  np.full(4, 0.0, np.float32))
+
+
+def test_persistent_cache_survives_restart(tmp_path):
+    """The whole point: a fresh cache instance (fresh process) over the
+    same persist_dir serves every row from disk — ZERO backbone forwards."""
+    d = str(tmp_path / "feat")
+    x = np.arange(12, dtype=np.int32).reshape(3, 4)
+    m1 = _StubModule()
+    c1 = FrozenFeatureCache(persist_dir=d)
+    out1 = c1.get_pooled(m1, x)
+    assert m1.forwards == 1 and c1.misses == 3
+    c1.close()
+
+    m2 = _StubModule()
+    c2 = FrozenFeatureCache(persist_dir=d)
+    out2 = c2.get_pooled(m2, x)
+    assert m2.forwards == 0, "restart recomputed frozen features"
+    assert c2.disk_hits == 3 and c2.misses == 0
+    np.testing.assert_array_equal(out1, out2)
+    stats = c2.stats()
+    assert stats["cache/disk_entries"] == 3.0
+    # second access within the restarted process: pure RAM (promoted)
+    c2.get_pooled(m2, x)
+    assert c2.disk_hits == 3 and m2.forwards == 0
+
+
+def test_trainer_restart_warm_starts_from_disk(tmp_path):
+    """Production restart path (chain-resubmission): a SECOND trainer +
+    module over the same cache_persist_dir trains its first epoch with
+    zero hub misses — cached (steady-state) speed from step 1."""
+    from oneprot_tpu.data.datamodule import OneProtDataModule
+    from oneprot_tpu.data.synthetic import generate_fixtures
+    from oneprot_tpu.train.trainer import Trainer
+
+    d = str(tmp_path / "fx")
+    feat = str(tmp_path / "feature_cache")
+    generate_fixtures(d, n_train=16, n_eval=4, modalities=["struct_token"])
+
+    def run(out):
+        dm = OneProtDataModule(modalities={"struct_token": {
+            "dataset": {
+                "data_dir": d,
+                "filename": f"{d}/train_saprot.h5",
+                "max_length": 64,
+            },
+            "batch_size": {"train": 4, "val": 4, "test": 4},
+        }})
+        module = _build()
+        tr = Trainer(max_epochs=1, log_every_n_steps=1,
+                     cache_frozen_features=True, cache_persist_dir=feat,
+                     default_root_dir=str(tmp_path / out), devices=1,
+                     mesh={"data": 1, "model": 1})
+        tr.fit(module, dm)
+        return tr
+
+    tr1 = run("run1")
+    assert tr1._feature_cache.misses > 0  # cold: paid the hub forwards
+    tr2 = run("run2")  # fresh trainer + module = restarted process
+    assert tr2._feature_cache.misses == 0, (
+        "restarted run re-paid the epoch-1 hub cost")
+    assert tr2._feature_cache.disk_hits > 0
