@@ -18,6 +18,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
 @pytest.mark.slow
+@pytest.mark.tier0  # quick tier: one train step per modality family
 def test_all_modalities_train_and_val(tmp_path):
     import train as train_entry
 

@@ -18,6 +18,12 @@ from oneprot_tpu.core.config import (
     to_config,
 )
 
+
+# whole-file tier0: part of the ~2-minute smoke subset for the inner dev
+# loop (`make test-quick`, VERDICT r4 next-step 7)
+pytestmark = pytest.mark.tier0
+
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 

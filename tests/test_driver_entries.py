@@ -35,6 +35,7 @@ def test_dryrun_multichip_two_devices(capsys):
     assert "OK" in capsys.readouterr().out
 
 
+@pytest.mark.tier0  # quick tier: the driver entry must always compile
 def test_entry_compiles_on_cpu():
     import jax
 

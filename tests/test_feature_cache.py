@@ -39,6 +39,7 @@ def test_cacheable_predicate():
     assert not _build(frozen=False).hub_is_cacheable()
 
 
+@pytest.mark.tier0  # quick tier: cached-vs-uncached loss parity
 def test_cached_training_matches_uncached():
     batches = [(tiny_ids(24, s), tiny_ids(54, 100 + s)) for s in range(4)]
 

@@ -14,6 +14,12 @@ from jax import shard_map
 from oneprot_tpu.losses import clip_loss, siglip_loss
 
 
+# whole-file tier0: part of the ~2-minute smoke subset for the inner dev
+# loop (`make test-quick`, VERDICT r4 next-step 7)
+pytestmark = pytest.mark.tier0
+
+
+
 def _norm_rows(x):
     return x / np.linalg.norm(x, axis=-1, keepdims=True)
 

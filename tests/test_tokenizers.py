@@ -15,6 +15,12 @@ from oneprot_tpu.data.tokenizers import (
 )
 
 
+# whole-file tier0: part of the ~2-minute smoke subset for the inner dev
+# loop (`make test-quick`, VERDICT r4 next-step 7)
+pytestmark = pytest.mark.tier0
+
+
+
 def test_esm2_vocab_layout():
     tok = esm2_tokenizer()
     # canonical ESM2 special ids (facebook/esm2_* vocab.txt)
