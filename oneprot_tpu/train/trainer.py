@@ -412,9 +412,12 @@ class Trainer:
                 continue
             n_per_modality[modality] = n_per_modality.get(modality, 0) + 1
             seq_in, mod_in, modality, _ = batch
-            if (self.cache_frozen_features and module.hub_is_cacheable()
-                    and self._feature_cache is not None):
-                # the val pool repeats every epoch: reuse cached reprs
+            if self.cache_frozen_features and module.hub_is_cacheable():
+                # the val pool repeats every epoch: reuse cached reprs.
+                # Building the cache here too (not only in fit) lets
+                # eval-only runs with cache_persist_dir serve the frozen
+                # hub from a prior run's disk store
+                self._get_feature_cache()
                 pooled = self._feature_cache.get_pooled(module, seq_in)
                 if module.modality_is_cacheable(modality):
                     mod_pooled = self._feature_cache.get_pooled(

@@ -478,3 +478,49 @@ def test_trainer_restart_warm_starts_from_disk(tmp_path):
     assert tr2._feature_cache.misses == 0, (
         "restarted run re-paid the epoch-1 hub cost")
     assert tr2._feature_cache.disk_hits > 0
+
+
+def test_validate_only_uses_disk_store(tmp_path):
+    """Eval-only workflow (no fit in this process) over a persist_dir
+    written by a prior run: validate() must engage the cache and serve the
+    frozen hub from disk with zero misses."""
+    from oneprot_tpu.data.datamodule import OneProtDataModule
+    from oneprot_tpu.data.synthetic import generate_fixtures
+    from oneprot_tpu.train.trainer import Trainer
+
+    d = str(tmp_path / "fx")
+    feat = str(tmp_path / "feature_cache")
+    generate_fixtures(d, n_train=16, n_eval=4, modalities=["struct_token"])
+
+    def make():
+        dm = OneProtDataModule(modalities={"struct_token": {
+            "dataset": {
+                "data_dir": d,
+                "filename": f"{d}/train_saprot.h5",
+                "max_length": 64,
+            },
+            "batch_size": {"train": 4, "val": 4, "test": 4},
+        }})
+        module = _build()
+        ids = np.full((2, 16), 1, np.int32)
+        ids[:, 0] = 0
+        module.init({"struct_token": (ids, ids)})
+        tr = Trainer(max_epochs=1, cache_frozen_features=True,
+                     cache_persist_dir=feat,
+                     default_root_dir=str(tmp_path), devices=1,
+                     mesh={"data": 1, "model": 1})
+        return tr, module, dm
+
+    tr1, module1, dm1 = make()
+    dm1.setup()  # validate() alone does not run trainer.setup()
+    tr1.validate(module1, dm1, split="val")  # cold: computes + persists
+    assert tr1._feature_cache is not None
+    assert tr1._feature_cache.misses > 0
+    tr1._feature_cache.flush()
+
+    tr2, module2, dm2 = make()  # fresh "process", same weights (seed 0)
+    dm2.setup()
+    tr2.validate(module2, dm2, split="val")
+    assert tr2._feature_cache is not None, "validate() did not build the cache"
+    assert tr2._feature_cache.misses == 0, "eval-only run ignored the disk store"
+    assert tr2._feature_cache.disk_hits > 0
