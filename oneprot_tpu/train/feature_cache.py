@@ -33,12 +33,37 @@ append-only and uncapped; delete the directory to reclaim space).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import struct
 from collections import OrderedDict
 from typing import Optional
 
 import numpy as np
+
+
+def params_fingerprint(params) -> str:
+    """Cheap deterministic digest of a (frozen) param tree.
+
+    Per leaf: tree path, shape, dtype, and the first 4 values — enough to
+    catch a different checkpoint, model size, or vocabulary behind an
+    existing persist_dir without transferring full weights off-device
+    (the 650M hub stays put; only 4-element slices move). The digest is
+    sharding-independent: slices are taken through JAX's logical indexing,
+    not per-shard buffers."""
+    import jax
+
+    h = hashlib.sha256()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if leaf is None:
+            continue
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(tuple(getattr(leaf, "shape", ()))).encode())
+        h.update(str(getattr(leaf, "dtype", "")).encode())
+        head = np.asarray(jax.device_get(
+            leaf.reshape(-1)[:4] if hasattr(leaf, "reshape") else leaf))
+        h.update(np.asarray(head, np.float32).tobytes())
+    return h.hexdigest()
 
 
 class DiskFeatureStore:
@@ -61,9 +86,11 @@ class DiskFeatureStore:
 
     MAGIC = b"OPFC1\n"
 
-    def __init__(self, directory: str, flush_every: int = 256):
+    def __init__(self, directory: str, flush_every: int = 256,
+                 fingerprint: Optional[str] = None):
         self.dir = directory
         os.makedirs(directory, exist_ok=True)
+        self._check_fingerprint(fingerprint)
         self._index: dict = {}  # key -> (bin_path, offset, dim)
         self._mmaps: dict = {}  # bin_path -> np.memmap
         self._load_existing()
@@ -76,6 +103,33 @@ class DiskFeatureStore:
 
     def __len__(self) -> int:
         return len(self._index)
+
+    def _check_fingerprint(self, fingerprint: Optional[str]) -> None:
+        """Refuse to serve a store built with different frozen weights.
+
+        Rows key on token bytes only, so pointing cache_persist_dir at a
+        store from another checkpoint would silently train on stale
+        features — strictly worse than any crash. Writers with the same
+        fingerprint racing on the sentinel write identical bytes, so no
+        locking is needed; a store predating the sentinel (or an opener
+        that passes None) adopts/skips the check for compatibility."""
+        if fingerprint is None:
+            return
+        path = os.path.join(self.dir, "FINGERPRINT")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = f.read().strip()
+            if existing and existing != fingerprint:
+                raise ValueError(
+                    f"feature store at {self.dir} was built with different "
+                    f"frozen weights (fingerprint {existing[:12]}... != "
+                    f"{fingerprint[:12]}...): serving it would silently "
+                    "train on stale features. Delete the directory, or "
+                    "point cache_persist_dir at a store built with this "
+                    "checkpoint.")
+        else:
+            with open(path, "w") as f:
+                f.write(fingerprint + "\n")
 
     def _load_existing(self) -> None:
         for name in sorted(os.listdir(self.dir)):
@@ -128,7 +182,11 @@ class DiskFeatureStore:
             # rows this process wrote may still sit in the stdio buffer
             self._own_bin.flush()
         mm = self._mmaps.get(bin_path)
-        if mm is None:
+        if mm is None or off + dim > mm.shape[0]:
+            # (re)map — a shard this or another process appended to has
+            # grown past an earlier map's length; a stale map would turn
+            # every RAM-evicted row written after first map into a
+            # permanent recompute
             try:
                 mm = np.memmap(bin_path, dtype=np.float32, mode="r")
             except (OSError, ValueError):
@@ -170,10 +228,11 @@ class DiskFeatureStore:
 
 class FrozenFeatureCache:
     def __init__(self, max_entries: Optional[int] = None,
-                 persist_dir: Optional[str] = None):
+                 persist_dir: Optional[str] = None,
+                 fingerprint: Optional[str] = None):
         self._store: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
         self.max_entries = max_entries
-        self._disk = (DiskFeatureStore(persist_dir)
+        self._disk = (DiskFeatureStore(persist_dir, fingerprint=fingerprint)
                       if persist_dir else None)
         self.hits = 0
         self.misses = 0

@@ -124,18 +124,33 @@ class Trainer:
         self.logger = None
         self.metrics_history: Dict[str, float] = {}
 
-    def _get_feature_cache(self):
+    def _get_feature_cache(self, module=None):
         """Lazily build the frozen-feature cache. With cache_persist_dir
         set, computed rows also land in an on-disk shard store and a fresh
         process (chain-resubmitted job, crash restart) warm-starts at
         cached speed instead of re-paying the epoch-1 hub cost (VERDICT r4
-        next-step 3)."""
+        next-step 3). The store is guarded by a digest of the module's
+        FROZEN params (cached rows depend on nothing else): reusing a
+        persist_dir across different checkpoints raises instead of
+        silently training on stale features."""
         if self._feature_cache is None:
-            from oneprot_tpu.train.feature_cache import FrozenFeatureCache
+            from oneprot_tpu.train.feature_cache import (
+                FrozenFeatureCache,
+                params_fingerprint,
+            )
 
+            fp = None
+            if (self.cache_persist_dir and module is not None
+                    and getattr(module, "mask", None) is not None):
+                from oneprot_tpu.train.optim import partition_params
+
+                _, frozen = partition_params(module.state.params,
+                                             module.mask)
+                fp = params_fingerprint(frozen)
             self._feature_cache = FrozenFeatureCache(
                 self.cache_max_entries,
-                persist_dir=self.cache_persist_dir)
+                persist_dir=self.cache_persist_dir,
+                fingerprint=fp)
             if self.cache_persist_dir:
                 log.info(
                     f"feature cache persists to {self.cache_persist_dir} "
@@ -263,7 +278,7 @@ class Trainer:
                                 # features (keyed by token subsequence, so
                                 # hits survive epoch re-packing) + packed
                                 # trainable tower only
-                                self._get_feature_cache()
+                                self._get_feature_cache(module)
                                 pooled = self._feature_cache.get_pooled_packed(
                                     module, seq_in["ids"],
                                     seq_in["segment_ids"], extra)
@@ -280,7 +295,7 @@ class Trainer:
                             # frozen backbones: skip their forwards for
                             # rows seen before (feature_cache.py); frozen
                             # modality towers (text/MSA/seqsim) cache too
-                            self._get_feature_cache()
+                            self._get_feature_cache(module)
                             pooled = self._feature_cache.get_pooled(
                                 module, seq_in)
                             if module.modality_is_cacheable(modality):
@@ -417,7 +432,7 @@ class Trainer:
                 # Building the cache here too (not only in fit) lets
                 # eval-only runs with cache_persist_dir serve the frozen
                 # hub from a prior run's disk store
-                self._get_feature_cache()
+                self._get_feature_cache(module)
                 pooled = self._feature_cache.get_pooled(module, seq_in)
                 if module.modality_is_cacheable(modality):
                     mod_pooled = self._feature_cache.get_pooled(

@@ -524,3 +524,98 @@ def test_validate_only_uses_disk_store(tmp_path):
     assert tr2._feature_cache is not None, "validate() did not build the cache"
     assert tr2._feature_cache.misses == 0, "eval-only run ignored the disk store"
     assert tr2._feature_cache.disk_hits > 0
+
+
+def test_disk_store_reads_rows_written_after_first_map(tmp_path):
+    """A shard grows past the length it had when first memory-mapped
+    (write-behind appends within one process, or a concurrent chain link's
+    flush): lookup must remap and serve the new row, not report a miss —
+    a stale map would turn every RAM-evicted late row into a permanent
+    recompute."""
+    from oneprot_tpu.train.feature_cache import DiskFeatureStore
+
+    d = str(tmp_path / "feat")
+    s = DiskFeatureStore(d, flush_every=1)
+    s.append(b"a", np.full(8, 1.0, np.float32))
+    np.testing.assert_array_equal(s.lookup(b"a"),
+                                  np.full(8, 1.0, np.float32))  # maps 1 row
+    s.append(b"b", np.full(8, 2.0, np.float32))  # grows past the map
+    row = s.lookup(b"b")
+    assert row is not None, "stale memmap swallowed a post-map row"
+    np.testing.assert_array_equal(row, np.full(8, 2.0, np.float32))
+    s.close()
+
+
+def test_disk_store_rejects_mismatched_fingerprint(tmp_path):
+    """Rows key on token bytes only, so a store reused across different
+    frozen weights would silently train on stale features; the sentinel
+    must turn that into a hard error (and stay backward/opt-out
+    compatible when no fingerprint is passed)."""
+    from oneprot_tpu.train.feature_cache import DiskFeatureStore
+
+    d = str(tmp_path / "feat")
+    s1 = DiskFeatureStore(d, fingerprint="ck-aaa")
+    s1.append(b"k", np.ones(4, np.float32))
+    s1.close()
+    s2 = DiskFeatureStore(d, fingerprint="ck-aaa")  # same weights: fine
+    assert s2.lookup(b"k") is not None
+    s2.close()
+    with pytest.raises(ValueError, match="different frozen weights"):
+        DiskFeatureStore(d, fingerprint="ck-bbb")
+    s3 = DiskFeatureStore(d)  # legacy opener without a fingerprint
+    assert s3.lookup(b"k") is not None
+    s3.close()
+
+
+def test_trainer_guards_persist_dir_against_checkpoint_change(tmp_path):
+    """Production misuse: chain link 2 restarts with DIFFERENT frozen hub
+    weights but the same cache_persist_dir. The trainer's frozen-params
+    fingerprint must refuse the stale store instead of serving it.
+    (Exercised through validate(), which uses the module's params as
+    given; fit() re-initializes from the seed, so a perturbed state
+    cannot survive into its first step.)"""
+    from oneprot_tpu.data.datamodule import OneProtDataModule
+    from oneprot_tpu.data.synthetic import generate_fixtures
+    from oneprot_tpu.train.trainer import Trainer
+
+    d = str(tmp_path / "fx")
+    feat = str(tmp_path / "feature_cache")
+    generate_fixtures(d, n_train=8, n_eval=4, modalities=["struct_token"])
+
+    def run(perturb_hub):
+        dm = OneProtDataModule(modalities={"struct_token": {
+            "dataset": {
+                "data_dir": d,
+                "filename": f"{d}/train_saprot.h5",
+                "max_length": 64,
+            },
+            "batch_size": {"train": 4, "val": 4, "test": 4},
+        }})
+        module = _build()
+        ids = np.full((2, 16), 1, np.int32)
+        ids[:, 0] = 0
+        module.init({"struct_token": (ids, ids)})
+        if perturb_hub:
+            from oneprot_tpu.train.optim import (
+                merge_params,
+                partition_params,
+            )
+
+            # nudge the FROZEN partition = "a different hub checkpoint"
+            trainable, frozen = partition_params(module.state.params,
+                                                 module.mask)
+            frozen = jax.tree.map(lambda v: v + 0.5, frozen)
+            module.state = module.state.replace(
+                params=merge_params(trainable, frozen))
+        tr = Trainer(max_epochs=1, log_every_n_steps=1,
+                     cache_frozen_features=True, cache_persist_dir=feat,
+                     default_root_dir=str(tmp_path / "rt"), devices=1,
+                     mesh={"data": 1, "model": 1})
+        dm.setup()
+        tr.validate(module, dm, split="val")
+        return tr
+
+    run(perturb_hub=False)  # builds the store with the seed-0 weights
+    with pytest.raises(ValueError, match="different frozen weights"):
+        run(perturb_hub=True)
+    run(perturb_hub=False)  # unchanged weights keep working
