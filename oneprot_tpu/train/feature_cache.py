@@ -28,7 +28,10 @@ the chain-resubmission workflow (scripts/start_training_chain.sh) restarts
 the process every job, and without persistence every link re-paid the full
 epoch-1 hub cost. Disk size: entries * (d_model * 4 + key) bytes — ~5.3 GB
 per 1M samples at d=1280; cap RAM with max_entries (the disk store is
-append-only and uncapped; delete the directory to reclaim space).
+append-only and uncapped; delete the directory to reclaim space). The
+store is guarded by a fingerprint of the FROZEN params (see
+params_fingerprint): a persist_dir reused across different checkpoints
+raises instead of serving stale features.
 """
 
 from __future__ import annotations
