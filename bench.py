@@ -467,12 +467,15 @@ class KernelPrep:
         left = deadline_fn()
         if not self._done.wait(timeout=max(min(left - 30.0, 180.0), 0.0)):
             if self.results:
-                # partial evidence is still evidence
+                # partial evidence is evidence, but it is NOT a PASS: a
+                # shape still in flight could fail after we exit, and
+                # claiming PASS here would record a clean artifact for a
+                # build whose production kernel is numerically wrong
                 worst = max(e for _, e in self.results)
-                note(f"kernel numerics: PASS ({len(self.results)} compiled "
-                     f"fwd+bwd shapes vs XLA, max rel err {worst:.1e}; "
-                     f"{(self.n_jobs or 0) - len(self.results)} shapes "
-                     f"still compiling at budget end)")
+                note(f"kernel numerics: PARTIAL ({len(self.results)}/"
+                     f"{self.n_jobs or '?'} compiled fwd+bwd shapes ok vs "
+                     f"XLA, max rel err {worst:.1e}; the rest still "
+                     f"compiling at budget end — no PASS claimed)")
             else:
                 note("kernel numerics: NOT RUN (still compiling at "
                      "budget end)")
@@ -576,9 +579,13 @@ class Bf16Prep:
         state = self.state
         rates = {}
         for rl, share, p_slots, xs, pairs, n_steps in self.prep:
-            if budget_left() < 45 and not self.acs[rl].wait(0):
-                note(f"bf16-only secondary: budget exhausted, "
-                     f"skipping L={rl}+")
+            # bounded wait: an unconditional get() on a still-compiling
+            # non-anchor group (BENCH_BF16_FULL=1) could block minutes
+            # past the driver's external timeout and lose the final
+            # primary re-print (same failure the cached phase fixed)
+            if not self.acs[rl].wait(max(budget_left() - 45.0, 0.0)):
+                note(f"bf16-only secondary: L={rl} compile not ready "
+                     f"within budget — skipping L={rl}+")
                 break
             HB.set(f"bf16-only secondary: measuring L={rl}")
             run = self.acs[rl].get()
@@ -594,32 +601,45 @@ class Bf16Prep:
             note(f"bf16-only L={rl}: {best / n_steps * 1000:.0f} ms/step, "
                  f"{pairs / best / max(n_chips, 1):.1f} pairs/s/chip")
             rates[rl] = pairs / best
-        if not rates:
-            return False
-        anchor_rl = min(rates)
-        total_share = inv = 0.0
-        filled = []
-        for rl, share, p_slots, xs, pairs, n_steps in self.groups:
-            r = rates.get(rl)
-            if r is None:
-                r = rates[anchor_rl] * (anchor_rl / rl) * 0.75
-                filled.append(rl)
-            total_share += share
-            inv += share / r
-        per_chip = total_share / inv / max(n_chips, 1)
-        suffix = (" (partial: conservative fill-in for unmeasured groups)"
-                  if filled else "")
-        print(json.dumps({
-            "metric": ("SECONDARY bf16-only, no int8: aligned "
-                       "pairs/sec/chip (ESM2-650M hub, realistic lengths, "
-                       "sequence-packed rows)" + suffix),
-            "value": round(per_chip, 2),
-            "unit": "pairs/s/chip",
-            "vs_baseline": round(per_chip / base, 2),
-        }), flush=True)
-        note(f"bf16-only secondary headline: {per_chip:.1f} pairs/s/chip "
-             f"({per_chip / base:.2f}x){suffix}")
-        return True
+        return _print_secondary(rates, [(g[0], g[1]) for g in self.groups],
+                                base, n_chips)
+
+
+def _print_secondary(rates, group_shares, base, n_chips: int) -> bool:
+    """Aggregate per-group bf16 rates into the SECONDARY headline and print
+    its JSON line. Unmeasured groups get the documented conservative
+    fill-in (anchor rate scaled linearly in row length x 0.75 — packing
+    keeps per-token work roughly constant, the 0.75 haircut keeps the
+    claim under anything a real measurement has shown). ONE home for the
+    fill-in formula and the metric string: Bf16Prep.finish (early
+    pipeline) and _bf16_phase (BENCH_BF16_EARLY=0 fallback) both end
+    here. Returns True when the line was printed."""
+    if not rates:
+        return False
+    anchor_rl = min(rates)
+    total_share = inv = 0.0
+    filled = []
+    for rl, share in group_shares:
+        r = rates.get(rl)
+        if r is None:
+            r = rates[anchor_rl] * (anchor_rl / rl) * 0.75
+            filled.append(rl)
+        total_share += share
+        inv += share / r
+    per_chip = total_share / inv / max(n_chips, 1)
+    suffix = (" (partial: conservative fill-in for unmeasured groups)"
+              if filled else "")
+    print(json.dumps({
+        "metric": ("SECONDARY bf16-only, no int8: aligned pairs/sec/chip "
+                   "(ESM2-650M hub, realistic lengths, sequence-packed "
+                   "rows)" + suffix),
+        "value": round(per_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(per_chip / base, 2),
+    }), flush=True)
+    note(f"bf16-only secondary headline: {per_chip:.1f} pairs/s/chip "
+         f"({per_chip / base:.2f}x){suffix}")
+    return True
 
 
 def _bf16_phase(bf16_module_fn, init_batch, deferred, base,
@@ -656,8 +676,11 @@ def _bf16_phase(bf16_module_fn, init_batch, deferred, base,
     state = module.init(init_batch)
     rates = {}
     for rl, share, xs, pairs, n_steps, ac in built:
-        if budget_left() < 45 and not ac.wait(0):
-            note(f"bf16-only phase: budget exhausted, skipping L={rl}+")
+        # bounded wait — an unconditional get() on a still-compiling group
+        # could block minutes past the driver's external timeout
+        if not ac.wait(max(budget_left() - 45.0, 0.0)):
+            note(f"bf16-only phase: L={rl} compile not ready within "
+                 f"budget — skipping L={rl}+")
             break
         HB.set(f"bf16-only phase: measuring L={rl}")
         run = ac.get()
@@ -681,32 +704,8 @@ def _bf16_phase(bf16_module_fn, init_batch, deferred, base,
         note(f"bf16-only L={rl}: {dt/n_steps*1000:.0f} ms/step, "
              f"{pairs/dt/max(n_chips,1):.1f} pairs/s/chip")
         rates[rl] = pairs / dt
-    if not rates:
-        return False
-    anchor_rl = min(rates)
-    total_share = inv = 0.0
-    filled = []
-    for rl, share, xs, pairs, n_steps, ac in built:
-        r = rates.get(rl)
-        if r is None:
-            r = rates[anchor_rl] * (anchor_rl / rl) * 0.75
-            filled.append(rl)
-        total_share += share
-        inv += share / r
-    per_chip = total_share / inv / max(n_chips, 1)
-    suffix = " (partial: conservative fill-in for unmeasured groups)" \
-        if filled else ""
-    print(json.dumps({
-        "metric": ("SECONDARY bf16-only, no int8: aligned pairs/sec/chip "
-                   "(ESM2-650M hub, realistic lengths, sequence-packed "
-                   "rows)" + suffix),
-        "value": round(per_chip, 2),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(per_chip / base, 2),
-    }), flush=True)
-    note(f"bf16-only secondary headline: {per_chip:.1f} pairs/s/chip "
-         f"({per_chip/base:.2f}x){suffix}")
-    return True
+    return _print_secondary(rates, [(g[0], g[1]) for g in built],
+                            base, n_chips)
 
 
 def run_packed(module, init_batch, n_chips: int,

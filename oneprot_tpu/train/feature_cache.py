@@ -63,9 +63,17 @@ def params_fingerprint(params) -> str:
         h.update(jax.tree_util.keystr(path).encode())
         h.update(str(tuple(getattr(leaf, "shape", ()))).encode())
         h.update(str(getattr(leaf, "dtype", "")).encode())
-        head = np.asarray(jax.device_get(
-            leaf.reshape(-1)[:4] if hasattr(leaf, "reshape") else leaf))
-        h.update(np.asarray(head, np.float32).tobytes())
+        try:
+            head = np.asarray(jax.device_get(
+                leaf.reshape(-1)[:4] if hasattr(leaf, "reshape") else leaf))
+            h.update(np.asarray(head, np.float32).tobytes())
+        except RuntimeError:
+            # a leaf sharded across non-addressable devices (multi-host
+            # model parallelism) cannot be fetched; fold its metadata only.
+            # The digest stays deterministic for a given topology — a
+            # store shared across topologies may mismatch, which errs on
+            # the refuse-stale side
+            h.update(b"non-addressable")
     return h.hexdigest()
 
 
@@ -149,6 +157,13 @@ class DiskFeatureStore:
                 continue
             if not data.startswith(self.MAGIC):
                 continue
+            # rows whose .bin bytes never hit disk (writer killed between
+            # the two flushes) must not enter the index: a registered-but-
+            # torn key would shadow a later shard's good row at merge
+            try:
+                bin_rows = os.path.getsize(bin_path) // 4
+            except OSError:
+                continue
             pos = len(self.MAGIC)
             n = len(data)
             while pos + 16 <= n:
@@ -158,7 +173,8 @@ class DiskFeatureStore:
                     break  # torn tail (killed mid-write): ignore
                 key = data[pos:pos + key_len]
                 pos += key_len
-                self._index[key] = (bin_path, off, dim)
+                if off + dim <= bin_rows:
+                    self._index[key] = (bin_path, off, dim)
 
     def _open_own_shard(self) -> None:
         seq = 0
@@ -196,7 +212,12 @@ class DiskFeatureStore:
                 return None
             self._mmaps[bin_path] = mm
         if off + dim > mm.shape[0]:
-            return None  # torn row
+            # torn row (writer killed between .idx and .bin reaching disk):
+            # DROP the key so the recomputed row re-persists — keeping it
+            # would make append() a no-op ('key in index') and turn this
+            # key into a full hub forward in every future process
+            del self._index[key]
+            return None
         return np.array(mm[off:off + dim])  # copy out of the map
 
     def append(self, key: bytes, row: np.ndarray) -> None:

@@ -305,7 +305,8 @@ class OneProtModule:
         max_len = max(
             int(os.environ.get("ONEPROT_INT8_CANARY_LEN", "512")), 16)
         probe_rng = np.random.RandomState(0)
-        lens = np.round(np.geomspace(32, max_len, rows)).astype(int)
+        lens = np.round(
+            np.geomspace(min(32, max_len), max_len, rows)).astype(int)
         if vocab_size >= 24:
             p = self._ESM2_AA_FREQ / self._ESM2_AA_FREQ.sum()
             aa = probe_rng.choice(np.arange(4, 24, dtype=np.int32),

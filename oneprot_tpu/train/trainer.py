@@ -427,11 +427,16 @@ class Trainer:
                 continue
             n_per_modality[modality] = n_per_modality.get(modality, 0) + 1
             seq_in, mod_in, modality, _ = batch
-            if self.cache_frozen_features and module.hub_is_cacheable():
+            if (self.cache_frozen_features and module.hub_is_cacheable()
+                    and (self._feature_cache is not None
+                         or self.cache_persist_dir)):
                 # the val pool repeats every epoch: reuse cached reprs.
                 # Building the cache here too (not only in fit) lets
                 # eval-only runs with cache_persist_dir serve the frozen
-                # hub from a prior run's disk store
+                # hub from a prior run's disk store. An eval-only run
+                # WITHOUT a persist_dir stays on the plain eval path: a
+                # single pass sees each row once, so caching it would be
+                # pure RAM cost (rows x d_model x 4 bytes) for zero hits
                 self._get_feature_cache(module)
                 pooled = self._feature_cache.get_pooled(module, seq_in)
                 if module.modality_is_cacheable(modality):

@@ -546,6 +546,35 @@ def test_disk_store_reads_rows_written_after_first_map(tmp_path):
     s.close()
 
 
+def test_disk_store_torn_row_self_heals(tmp_path):
+    """A torn row must not poison its key: the recomputed row re-persists
+    (lookup drops the dead index entry so append is not a no-op), and a
+    THIRD process serves it from disk again."""
+    from oneprot_tpu.train.feature_cache import DiskFeatureStore
+
+    d = str(tmp_path / "feat")
+    s = DiskFeatureStore(d)
+    s.append(b"k0", np.full(4, 7.0, np.float32))
+    s.close()
+    import glob
+    import os as _os
+
+    bin_path = glob.glob(_os.path.join(d, "*.bin"))[0]
+    with open(bin_path, "rb+") as f:
+        f.truncate(8)  # k0's row [0:4) now exceeds the file
+
+    s2 = DiskFeatureStore(d)
+    assert s2.lookup(b"k0") is None  # torn: miss, key dropped
+    s2.append(b"k0", np.full(4, 7.0, np.float32))  # the recompute persists
+    s2.close()
+
+    s3 = DiskFeatureStore(d)
+    row = s3.lookup(b"k0")
+    assert row is not None, "torn row permanently poisoned its key"
+    np.testing.assert_array_equal(row, np.full(4, 7.0, np.float32))
+    s3.close()
+
+
 def test_disk_store_rejects_mismatched_fingerprint(tmp_path):
     """Rows key on token bytes only, so a store reused across different
     frozen weights would silently train on stale features; the sentinel
