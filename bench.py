@@ -1129,6 +1129,15 @@ def run_packed(module, init_batch, n_chips: int,
         built_c.append((rl, share, xs, pairs, n_steps, ac_pool, ac_run))
 
     cached_rates = []
+    # drain ALL groups' compiles before timing any (bounded by budget): a
+    # timed window that overlaps a later group's tunnel compile reads
+    # 2-4x slow (observed 226 vs 106 ms/step on the same L=768 cached
+    # executable). If the budget runs out mid-drain, fall through and
+    # measure whatever is ready — a partial aggregate beats none.
+    if not all(a.wait(max(budget_left() - 45.0, 0.0))
+               for g in built_c for a in (g[5], g[6])):
+        note("cached phase: not all compiles ready in budget — measuring "
+             "ready groups (their windows may overlap in-flight compiles)")
     for rl, share, xs, pairs, n_steps, ac_pool, ac_run in built_c:
         # bound the compile-wait by the budget: blocking in get() past the
         # driver's external timeout would kill the process BEFORE the
@@ -1143,10 +1152,15 @@ def run_packed(module, init_batch, n_chips: int,
         run_c = ac_run.get()
         state, losses = run_c(state, pooled_xs, (xs[2], xs[3], xs[4]))
         float(losses[-1])
-        t0 = time.time()
-        state, losses = run_c(state, pooled_xs, (xs[2], xs[3], xs[4]))
-        float(losses[-1])
-        dtc = time.time() - t0
+        # best-of-2 windows: one window can still straddle tunnel noise
+        dtc = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            state, losses = run_c(state, pooled_xs, (xs[2], xs[3], xs[4]))
+            float(losses[-1])
+            dtc = min(dtc, time.time() - t0)
+            if budget_left() < 60:
+                break
         note(f"packed L={rl}: cached steady-state "
              f"{dtc/n_steps*1000:.0f} ms/step, "
              f"{pairs/dtc/max(n_chips,1):.1f} pairs/s/chip")
