@@ -168,3 +168,39 @@ def test_bench_cli_int8_primary_with_bf16_secondary():
     assert "SECONDARY" not in lines[-1]["metric"]
     assert lines[-1] == [p for p in primaries if "provisional" not in p][-1]
     assert "bf16-early: anchor" in proc.stderr, proc.stderr[-2000:]
+
+
+@pytest.mark.tier0
+def test_bench_secondary_aggregation_math(capsys):
+    """_print_secondary is the single home of the SECONDARY headline's
+    aggregation (share-weighted harmonic mean) and conservative fill-in
+    (anchor rate scaled linearly in row length x 0.75). Pin both so a
+    refactor cannot silently inflate the artifact-of-record's number."""
+    import json as _json
+
+    import bench
+
+    groups = [(512, 0.7), (1024, 0.3)]
+    # all groups measured: plain share-weighted harmonic mean, no suffix
+    assert bench._print_secondary({512: 200.0, 1024: 100.0}, groups,
+                                  base=10.0, n_chips=1)
+    line1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    expect = (0.7 + 0.3) / (0.7 / 200.0 + 0.3 / 100.0)
+    assert abs(line1["value"] - round(expect, 2)) < 1e-9
+    assert "conservative fill-in" not in line1["metric"]
+    assert line1["vs_baseline"] == round(expect / 10.0, 2)
+
+    # anchor-only: the unmeasured L=1024 group fills in at
+    # anchor * (512/1024) * 0.75 and the metric string says so
+    assert bench._print_secondary({512: 200.0}, groups,
+                                  base=10.0, n_chips=1)
+    line2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fill = 200.0 * (512 / 1024) * 0.75
+    expect2 = (0.7 + 0.3) / (0.7 / 200.0 + 0.3 / fill)
+    assert abs(line2["value"] - round(expect2, 2)) < 1e-9
+    assert "conservative fill-in" in line2["metric"]
+    assert line2["value"] < line1["value"]  # fill-in must be conservative
+
+    # nothing measured: no line printed
+    assert not bench._print_secondary({}, groups, base=10.0, n_chips=1)
+    assert capsys.readouterr().out.strip() == ""
