@@ -50,6 +50,50 @@ def set_active_mesh(mesh) -> None:
     _ACTIVE_MESH = mesh if mesh is not None and mesh.size > 1 else None
 
 
+def sharded_kernel_dispatch(fn, args, arg_ranks, out_ranks):
+    """Run `fn(*args)` per-shard under the active mesh, or directly when no
+    multi-device mesh is active. pallas_call is opaque to the GSPMD
+    partitioner, so every kernel entry point needs this wrap; one helper
+    instead of a per-kernel copy of the mesh check / spec construction /
+    dp-divisibility bail-out.
+
+    arg_ranks[i] is the rank of args[i], whose dim 0 is batch-sharded over
+    the data axis (None-valued args pass replicated). out_ranks is the
+    rank of the single output, or a tuple of ranks for a tuple output.
+    Returns None when the leading batch dim doesn't divide the data-axis
+    size — the caller falls back to its XLA path."""
+    if _ACTIVE_MESH is None:
+        return fn(*args)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from oneprot_tpu.core.mesh import DATA_AXIS
+
+    def spec(rank):
+        return P(*((DATA_AXIS,) + (None,) * (rank - 1)))
+
+    dp = _ACTIVE_MESH.shape[DATA_AXIS]
+    batch = next(a.shape[0] for a in args if a is not None)
+    if batch % dp != 0:
+        return None
+    in_specs = tuple(None if a is None else spec(r)
+                     for a, r in zip(args, arg_ranks))
+    out_specs = (tuple(spec(r) for r in out_ranks)
+                 if isinstance(out_ranks, tuple) else spec(out_ranks))
+    return shard_map(fn, mesh=_ACTIVE_MESH, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)(*args)
+
+
+def _smallhead_maxl() -> int:
+    """Parsed ONEPROT_ATTN_XLA_SMALLHEAD_MAXL, hardened like the repo's
+    other kernel env knobs (a malformed value must not raise inside jit
+    tracing of every attention call — advisor round-2 class of bug)."""
+    try:
+        return int(os.environ.get("ONEPROT_ATTN_XLA_SMALLHEAD_MAXL", "0"))
+    except ValueError:
+        return 0
+
+
 def reference_attention(
     q: jax.Array,  # [B, H, Lq, D]
     k: jax.Array,  # [B, H, Lk, D]
@@ -96,7 +140,7 @@ def dot_product_attention(
     # ms/layer at L=256, tower geometry). Opt-in dispatch to XLA below the
     # length threshold; memory cost is the [B,H,L,L] residuals, affordable
     # at short L.
-    _maxl = int(os.environ.get("ONEPROT_ATTN_XLA_SMALLHEAD_MAXL", "0"))
+    _maxl = _smallhead_maxl()
     if _maxl and q.shape[-1] < 64 and q.shape[2] <= _maxl:
         use_pallas = False
     if use_pallas:
@@ -149,7 +193,7 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
     if D > flash_mha.D_PAD or hd % num_heads:
         return None
     # see dot_product_attention: small-head short-L dispatch to XLA
-    _maxl = int(os.environ.get("ONEPROT_ATTN_XLA_SMALLHEAD_MAXL", "0"))
+    _maxl = _smallhead_maxl()
     if _maxl and D < 64 and L <= _maxl:
         return None
     d_pad = flash_mha.select_d_pad(D, num_heads)
@@ -158,6 +202,11 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
             B, num_heads, L, L, None if bias is None else bias.shape,
             group=group):
         return None
+    if D != d_pad and D % 2 != 0:
+        # pad_halfwise reshapes to (..., 2, D//2) whenever padding is
+        # needed — rotary or not; an odd D would crash the reshape at
+        # trace time instead of falling back as the contract promises
+        return None
     if (rope_cos is not None) and (D % 4 != 0):
         return None  # half-wise padding needs an even half
 
@@ -165,27 +214,8 @@ def fused_mha(q, k, v, num_heads, bias=None, rope_cos=None, rope_sin=None,
         q, k, v, num_heads, bias=bias, rope_cos=rope_cos,
         rope_sin=rope_sin, lens=lens, segment_ids=seg)
 
-    if _ACTIVE_MESH is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from oneprot_tpu.core.mesh import DATA_AXIS
-
-        dp = _ACTIVE_MESH.shape[DATA_AXIS]
-        if B % dp != 0:
-            return None
-        spec2 = P(DATA_AXIS, None)
-        spec3 = P(DATA_AXIS, None, None)
-        spec4 = P(DATA_AXIS, None, None, None)
-        return shard_map(
-            fn, mesh=_ACTIVE_MESH,
-            in_specs=(spec3, spec3, spec3,
-                      None if bias is None else spec4,
-                      None if lens is None else P(DATA_AXIS),
-                      None if segment_ids is None else spec2),
-            out_specs=spec3, check_vma=False,
-        )(q, k, v, bias, lens, segment_ids)
-    return fn(q, k, v, bias, lens, segment_ids)
+    return sharded_kernel_dispatch(
+        fn, (q, k, v, bias, lens, segment_ids), (3, 3, 3, 4, 1, 2), 3)
 
 
 def fused_tied_row(q, k, v, num_heads, col_bias=None, scale=None):
@@ -223,23 +253,8 @@ def fused_tied_row(q, k, v, num_heads, col_bias=None, scale=None):
         q, k, v, num_heads, col_bias=bias, scale=scale,
         interpret=not _tpu_available())
 
-    if _ACTIVE_MESH is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from oneprot_tpu.core.mesh import DATA_AXIS
-
-        dp = _ACTIVE_MESH.shape[DATA_AXIS]
-        if B % dp != 0:
-            return None
-        spec4 = P(DATA_AXIS, None, None, None)
-        return shard_map(
-            fn, mesh=_ACTIVE_MESH,
-            in_specs=(spec4, spec4, spec4,
-                      None if col_bias is None else spec4),
-            out_specs=spec4, check_vma=False,
-        )(q, k, v, col_bias)
-    return fn(q, k, v, col_bias)
+    return sharded_kernel_dispatch(fn, (q, k, v, col_bias),
+                                   (4, 4, 4, 4), 4)
 
 
 def _maybe_sharded_flash(q, k, v, bias):
@@ -247,19 +262,5 @@ def _maybe_sharded_flash(q, k, v, bias):
     over the data axis (pallas_call is opaque to the GSPMD partitioner)."""
     from oneprot_tpu.kernels.flash_attention import flash_attention
 
-    if _ACTIVE_MESH is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from oneprot_tpu.core.mesh import DATA_AXIS
-
-        dp = _ACTIVE_MESH.shape[DATA_AXIS]
-        if q.shape[0] % dp != 0:
-            return None
-        spec = P(DATA_AXIS, None, None, None)
-        return shard_map(
-            flash_attention, mesh=_ACTIVE_MESH,
-            in_specs=(spec, spec, spec, None if bias is None else spec),
-            out_specs=spec, check_vma=False,
-        )(q, k, v, bias)
-    return flash_attention(q, k, v, bias)
+    return sharded_kernel_dispatch(flash_attention, (q, k, v, bias),
+                                   (4, 4, 4, 4), 4)

@@ -38,7 +38,11 @@ def supports(q, k, v, bias) -> bool:
         return False
     if Lq < 128 or Lk < 128:
         return False
-    if Lq % _block_q(Lq) or Lk % _block_k(Lk):
+    if Lq % 128 or Lk % 128:
+        # _block_q/_block_k fall back to L itself, so testing against them
+        # was a tautology; an unbucketed length like 2056 would launch a
+        # single [L, L] f32 score tile and fail Mosaic/VMEM compile
+        # instead of falling back to the XLA reference path
         return False
     if bias is not None and bias.shape != (B, 1, 1, Lk):
         return False

@@ -472,8 +472,10 @@ def _fwd(q, k, v, bias_b, cos_p, sin_p, lens, seg, scale, rotary, skip, d,
             pl.BlockSpec((1, Lk, lanes), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Lk), bias_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, _BLOCK_LANES), cs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq if rotary else 1, _BLOCK_LANES), cs_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq if rotary else 1, _BLOCK_LANES), cs_map,
+                         memory_space=pltpu.VMEM),
             segq_spec,
             segk_spec,
         ],
@@ -801,9 +803,9 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
                 pl.BlockSpec((1, Lk, lanes), kv_full,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, Lk), bias_full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
+                pl.BlockSpec((Lq if rotary else 1, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
+                pl.BlockSpec((Lq if rotary else 1, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, lanes), q_map,
                              memory_space=pltpu.VMEM),
@@ -842,9 +844,9 @@ def _bwd(scale, rotary, skip, d, interpret, res, g):
                 pl.BlockSpec((1, 1, block_k),
                              lambda b, h, j, lref: (b, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
+                pl.BlockSpec((Lq if rotary else 1, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lq, _BLOCK_LANES), cs_map,
+                pl.BlockSpec((Lq if rotary else 1, _BLOCK_LANES), cs_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Lq, lanes), kv_full,
                              memory_space=pltpu.VMEM),
@@ -963,8 +965,13 @@ def mha_attention(
         cos_p = jnp.tile(cosd, (1, G)).astype(q.dtype)
         sin_p = jnp.tile(sind, (1, G)).astype(q.dtype)
     else:
-        cos_p = jnp.zeros((L, _BLOCK_LANES), q.dtype)
-        sin_p = jnp.zeros((L, _BLOCK_LANES), q.dtype)
+        # 1-row dummies (same trick as _seg_views): the kernels never read
+        # the tables when rotary=False, but full [L, 128] zero tables
+        # would still be copied HBM->VMEM and hold ~2*L*128 elements of
+        # VMEM block space per program in all three kernels (~256 KB at
+        # bf16 L=512 — real headroom on the BERT/text path)
+        cos_p = jnp.zeros((1, _BLOCK_LANES), q.dtype)
+        sin_p = jnp.zeros((1, _BLOCK_LANES), q.dtype)
 
     if bias is None:
         bias_b = jnp.zeros((B, 1, L), jnp.float32)

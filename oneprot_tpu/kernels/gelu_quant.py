@@ -112,13 +112,15 @@ def fused_gelu_quant(y: jax.Array):
     env = os.environ.get("ONEPROT_USE_PALLAS", "auto")
     if env == "0":
         return None
-    from oneprot_tpu.kernels.attention import _ACTIVE_MESH, _tpu_available
+    from oneprot_tpu.kernels.attention import (
+        _tpu_available,
+        sharded_kernel_dispatch,
+    )
 
     use_pallas = True if env == "1" else _tpu_available()
     if not use_pallas:
         return None
 
-    lead = y.shape[:-1]
     N = y.shape[-1]
     if N % 128 or y.ndim < 2:
         return None
@@ -138,19 +140,4 @@ def fused_gelu_quant(y: jax.Array):
                                  interpret=interpret)
         return q.reshape(*y_.shape[:-1], N), s.reshape(*y_.shape[:-1], 1)
 
-    mesh = _ACTIVE_MESH
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from oneprot_tpu.core.mesh import DATA_AXIS
-
-        dp = mesh.shape[DATA_AXIS]
-        if lead[0] % dp != 0:
-            return None
-        spec = P(*((DATA_AXIS,) + (None,) * (y.ndim - 1)))
-        return shard_map(
-            fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
-            check_vma=False,
-        )(y)
-    return fn(y)
+    return sharded_kernel_dispatch(fn, (y,), (y.ndim,), (y.ndim, y.ndim))

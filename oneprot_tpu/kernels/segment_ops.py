@@ -41,9 +41,14 @@ def segment_mean(
     num_segments: int,
     eps: float = 1e-9,
 ) -> jax.Array:
-    totals = segment_sum(data, segment_ids, num_segments)
-    counts = segment_sum(jnp.ones((data.shape[0],), data.dtype), segment_ids, num_segments)
-    return totals / jnp.maximum(counts, eps)[..., None]
+    # accumulate in f32: bf16 counts saturate at 256 (256+1 rounds back
+    # to 256), silently inflating the mean of any segment with >256 rows;
+    # bf16 totals lose mantissa the same way
+    totals = segment_sum(data.astype(jnp.float32), segment_ids,
+                         num_segments)
+    counts = segment_sum(jnp.ones((data.shape[0],), jnp.float32),
+                         segment_ids, num_segments)
+    return (totals / jnp.maximum(counts, eps)[..., None]).astype(data.dtype)
 
 
 def segment_max(
@@ -61,10 +66,12 @@ def segment_softmax(
 ) -> jax.Array:
     """Numerically-stable softmax within each segment (e.g. edge attention)."""
     maxes = segment_max(logits, segment_ids, num_segments)
-    shifted = logits - maxes[segment_ids]
+    # f32 exp/denominator: a bf16 sum over a large segment accumulates
+    # rounding per term and mis-normalizes the softmax
+    shifted = (logits - maxes[segment_ids]).astype(jnp.float32)
     exp = jnp.exp(shifted)
     denom = segment_sum(exp, segment_ids, num_segments)
-    return exp / jnp.maximum(denom[segment_ids], 1e-9)
+    return (exp / jnp.maximum(denom[segment_ids], 1e-9)).astype(logits.dtype)
 
 
 def masked_neighbor_sum(
@@ -83,8 +90,11 @@ def masked_neighbor_mean(
 ) -> jax.Array:
     m = neighbor_mask[..., None].astype(messages.dtype)
     totals = jnp.sum(messages * m, axis=2)
-    counts = jnp.sum(m, axis=2)
-    return totals / jnp.maximum(counts, eps)
+    # f32 counts: a bf16 0/1-sum saturates at 256 neighbors (generic K;
+    # the production padded-kNN K is far smaller, but the contract is
+    # dtype-independent). The division promotes, so cast back.
+    counts = jnp.sum(neighbor_mask.astype(jnp.float32), axis=2)[..., None]
+    return (totals / jnp.maximum(counts, eps)).astype(messages.dtype)
 
 
 def gather_neighbors(

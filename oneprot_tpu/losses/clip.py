@@ -24,6 +24,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _f32_logits(rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """rows @ cols.T with f32 MXU accumulation. One home for the logits
+    matmul so EVERY path (single-device, sharded local/global, masked)
+    scales identical f32 values: scaling a bf16-rounded product in bf16
+    made single-device and sharded losses/grads of the same batch diverge
+    by up to ~0.4% per logit at CLIP temperatures."""
+    return jnp.matmul(rows, cols.T, preferred_element_type=jnp.float32)
+
+
 def _cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean softmax cross entropy with integer labels (fp32)."""
     logits = logits.astype(jnp.float32)
@@ -43,12 +52,10 @@ def clip_loss(
     """Symmetric InfoNCE. Matches reference ClipLoss.forward numerics."""
     del gather_with_grad
     if axis_name is None:
-        logits_per_mod = logit_scale * (
-            modality_features @ sequence_features.T
-        ).astype(jnp.float32)
-        logits_per_seq = logit_scale * (
-            sequence_features @ modality_features.T
-        ).astype(jnp.float32)
+        logits_per_mod = logit_scale * _f32_logits(
+            modality_features, sequence_features)
+        logits_per_seq = logit_scale * _f32_logits(
+            sequence_features, modality_features)
         labels = jnp.arange(modality_features.shape[0])
         return 0.5 * (
             _cross_entropy(logits_per_mod, labels)
@@ -63,8 +70,8 @@ def clip_loss(
 
     if local_loss:
         # local rows x global cols; labels offset by rank*B (loss.py:76-77)
-        logits_per_mod = logit_scale * (modality_features @ all_seq.T)
-        logits_per_seq = logit_scale * (sequence_features @ all_mod.T)
+        logits_per_mod = logit_scale * _f32_logits(modality_features, all_seq)
+        logits_per_seq = logit_scale * _f32_logits(sequence_features, all_mod)
         labels = jnp.arange(b_local) + b_local * rank
         # each shard's mean CE covers its own rows; psum-mean equals the
         # global-batch mean the reference's DDP grad-allreduce realizes
@@ -75,7 +82,7 @@ def clip_loss(
         return jax.lax.pmean(loss, axis_name)
 
     # full global logits on every shard (reference non-local path, loss.py:95-96)
-    logits_per_mod = logit_scale * (all_mod @ all_seq.T)
+    logits_per_mod = logit_scale * _f32_logits(all_mod, all_seq)
     logits_per_seq = logits_per_mod.T
     labels = jnp.arange(all_mod.shape[0])
     loss = 0.5 * (
@@ -107,8 +114,8 @@ def clip_loss_masked(
         per_row = (logz - picked) * valid
         return per_row.sum() / jnp.maximum(valid.sum(), 1.0)
 
-    logits_per_mod = logit_scale * (
-        modality_features @ sequence_features.T)
-    logits_per_seq = logit_scale * (
-        sequence_features @ modality_features.T)
+    logits_per_mod = logit_scale * _f32_logits(
+        modality_features, sequence_features)
+    logits_per_seq = logit_scale * _f32_logits(
+        sequence_features, modality_features)
     return 0.5 * (masked_ce(logits_per_mod) + masked_ce(logits_per_seq))

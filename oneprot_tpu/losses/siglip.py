@@ -32,10 +32,10 @@ def _pair_loss(
     negative_only: bool = False,
 ) -> jax.Array:
     """-sum(logsigmoid(labels * logits)) / B (reference loss.py:246-255)."""
+    from oneprot_tpu.losses.clip import _f32_logits
+
     b = modality_features.shape[0]
-    logits = logit_scale * (
-        modality_features @ sequence_features.T
-    ).astype(jnp.float32)
+    logits = logit_scale * _f32_logits(modality_features, sequence_features)
     if logit_bias is not None:
         logits = logits + logit_bias
     labels = -jnp.ones((b, sequence_features.shape[0]), jnp.float32)
@@ -105,12 +105,12 @@ def _pair_loss_masked(
     """_pair_loss over a PACKED block: empty pack slots contribute neither
     rows nor columns; normalized by the VALID row count (the reference's
     /b with b = real local pairs). All-valid == _pair_loss exactly."""
+    from oneprot_tpu.losses.clip import _f32_logits
+
     valid_rows = valid_rows.astype(jnp.float32)
     valid_cols = valid_cols.astype(jnp.float32)
     n = modality_features.shape[0]
-    logits = logit_scale * (
-        modality_features @ sequence_features.T
-    ).astype(jnp.float32)
+    logits = logit_scale * _f32_logits(modality_features, sequence_features)
     if logit_bias is not None:
         logits = logits + logit_bias
     labels = -jnp.ones((n, sequence_features.shape[0]), jnp.float32)
