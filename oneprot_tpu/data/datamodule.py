@@ -70,10 +70,24 @@ class DataLoader:
         self._lengths = None
 
     def __len__(self) -> int:
+        """Per-PROCESS batch count: _order shards items rank::nproc, so a
+        global count would over-report steps-per-epoch by a factor of
+        process_count. Packed mode returns the lockstep cap (the full-fill
+        floor every process is pinned to on multi-host; a best-effort
+        estimate single-host)."""
+        try:
+            import jax
+
+            nproc, rank = jax.process_count(), jax.process_index()
+        except Exception:  # pragma: no cover
+            nproc, rank = 1, 0
+        if self.pack_rows:
+            return self._packed_lockstep_cap(max(nproc, 1))
         n = len(self.dataset)
+        n_local = len(range(rank, n, nproc)) if nproc > 1 else n
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return n_local // self.batch_size
+        return -(-n_local // self.batch_size)
 
     def _item_lengths(self):
         if self._lengths is None and hasattr(self.dataset, "lengths"):
@@ -142,7 +156,14 @@ class DataLoader:
         """
         lengths = self._item_lengths()
         if lengths is not None:
-            total_tokens = float(np.sum(lengths)) + 2.0 * len(lengths)
+            # lengths() already include the +2 cls/eos framing (each
+            # dataset adds it at the source); adding it again here
+            # inflated the cap past the full-fill floor, injecting more
+            # re-streamed duplicates than designed. The seq side stands
+            # in for the pair (the packer consumes max(seq, other) per
+            # slot; for struct_token pairs the two sides are equal-length
+            # by construction).
+            total_tokens = float(np.sum(lengths))
             cap = int(total_tokens // (nproc * self.pack_rows
                                        * self.pack_row_len))
         else:
@@ -244,6 +265,10 @@ class DataLoader:
             i = 0
             while i < len(futures):
                 result = futures[i].result()
+                # drop the reference: a completed Future pins its collated
+                # batch, so keeping the whole list alive grows host memory
+                # with every batch of the epoch (~10 MB/graph batch)
+                futures[i] = None
                 i += 1
                 if next_to_submit < len(batches):
                     b, items = next_to_submit, batches[next_to_submit]

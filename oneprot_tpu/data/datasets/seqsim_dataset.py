@@ -66,7 +66,11 @@ class SequenceSimDataset(BaseDataset):
 
     def _pick_mutation(self, seq_id: str, table, rng) -> str:
         """Random valid mutation with retry (reference assert-retry loops)."""
-        candidates = list(table[seq_id])
+        # a sequence missing from the mutation JSON (drift between the
+        # seqsim txt and the clinvar tables) falls back to the wild type
+        # like an invalid mutation does, instead of crashing the epoch
+        # with a KeyError from the prefetch thread
+        candidates = list(table.get(seq_id, ()))
         rng.shuffle(candidates)
         for mutation in candidates:
             try:

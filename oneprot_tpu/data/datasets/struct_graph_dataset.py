@@ -97,6 +97,13 @@ class StructDataset(BaseDataset):
                 max_neighbors=self.max_neighbors,
                 cutoff=self.cutoff,
             ))
+        if not graphs:
+            # every id missed the h5 (csv/h5 drift): raise a diagnosable
+            # error instead of stack_graphs' opaque IndexError surfacing
+            # from a prefetch thread
+            raise ValueError(
+                f"no valid structure ids in batch for {self.h5_file}: "
+                f"first ids {seq_ids[:3]} missing from the HDF5")
         batch = stack_graphs(graphs)
         if self.split == "train" and rng is not None:
             batch = augment_graph_batch(

@@ -230,9 +230,17 @@ class WordPieceTokenizer:
 
     # -- basic tokenization ------------------------------------------------
     def _basic_tokenize(self, text: str) -> List[str]:
-        text = unicodedata.normalize("NFC", text)
         if self.do_lower_case:
+            # HF BertTokenizer(do_lower_case=True) semantics: lowercase,
+            # then NFD + strip combining marks ('naïve' -> 'naive'). NFC
+            # without accent stripping sent accented words to [UNK],
+            # diverging from the converted BiomedBERT's training pipeline
             text = text.lower()
+            text = unicodedata.normalize("NFD", text)
+            text = "".join(ch for ch in text
+                           if unicodedata.category(ch) != "Mn")
+        else:
+            text = unicodedata.normalize("NFC", text)
         out: List[str] = []
         word: List[str] = []
         for ch in text:

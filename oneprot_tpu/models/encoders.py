@@ -30,6 +30,26 @@ from oneprot_tpu.models.pronet import ProNet, ProNetConfig
 STRUCT_EXTRA_TOKENS = 21  # struct_token_encoder.py:27 (+21 3Di rows)
 
 
+def _segment_packed_pooled(transformer, head_pooling_type: str,
+                           pad_token_id: int, input_ids, segment_ids,
+                           num_segments: int, stop_grad: bool):
+    """Shared packed forward for token encoders: segment-masked transformer
+    -> per-segment pooling -> ([B*P, d_model], counts [B*P]). One home for
+    the mask construction and reshape contract (previously triplicated
+    across the sequence/struct_token/text encoders)."""
+    from oneprot_tpu.models.heads import segment_pool
+
+    mask = ((input_ids != pad_token_id)
+            & (segment_ids >= 0)).astype(jnp.int32)
+    hidden = transformer(input_ids, segment_ids=segment_ids)
+    if stop_grad:
+        hidden = jax.lax.stop_gradient(hidden)
+    pooled, counts = segment_pool(hidden, mask, segment_ids, num_segments,
+                                  pooling_type=head_pooling_type)
+    B, P, H = pooled.shape
+    return pooled.reshape(B * P, H), counts.reshape(B * P)
+
+
 class SequenceEncoder(nn.Module):
     """ESM2 hub encoder (sequence + seqsim modalities)."""
 
@@ -97,18 +117,10 @@ class SequenceEncoder(nn.Module):
                       num_segments: int):
         """Packed transformer -> per-segment pooled [B*P, d_model] (the
         frozen-cacheable representation) + counts [B*P]."""
-        from oneprot_tpu.models.heads import segment_pool
-
-        mask = ((input_ids != self.config.pad_token_id)
-                & (segment_ids >= 0)).astype(jnp.int32)
-        hidden = self.transformer(input_ids, segment_ids=segment_ids)
-        if self.frozen and self.lora_rank == 0:
-            hidden = jax.lax.stop_gradient(hidden)
-        pooled, counts = segment_pool(hidden, mask, segment_ids,
-                                      num_segments,
-                                      pooling_type=self.pooling_type)
-        B, P, H = pooled.shape
-        return pooled.reshape(B * P, H), counts.reshape(B * P)
+        return _segment_packed_pooled(
+            self.transformer, self.pooling_type, self.config.pad_token_id,
+            input_ids, segment_ids, num_segments,
+            stop_grad=self.frozen and self.lora_rank == 0)
 
     def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
                         num_segments: int):
@@ -154,16 +166,9 @@ class StructTokenEncoder(nn.Module):
 
     def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
                       num_segments: int):
-        from oneprot_tpu.models.heads import segment_pool
-
-        mask = ((input_ids != self.config.pad_token_id)
-                & (segment_ids >= 0)).astype(jnp.int32)
-        hidden = self.transformer(input_ids, segment_ids=segment_ids)
-        pooled, counts = segment_pool(hidden, mask, segment_ids,
-                                      num_segments,
-                                      pooling_type=self.pooling_type)
-        B, P, H = pooled.shape
-        return pooled.reshape(B * P, H), counts.reshape(B * P)
+        return _segment_packed_pooled(
+            self.transformer, self.pooling_type, self.config.pad_token_id,
+            input_ids, segment_ids, num_segments, stop_grad=False)
 
     def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
                         num_segments: int):
@@ -235,18 +240,10 @@ class TextEncoder(nn.Module):
         positions restart at 0 for each packed text, models/bert.py), then
         per-segment CLS pooling (the reference text tower pools [CLS],
         text_encoder.py). Returns ([B*P, d_model], counts [B*P])."""
-        from oneprot_tpu.models.heads import segment_pool
-
-        mask = ((input_ids != self.config.pad_token_id)
-                & (segment_ids >= 0)).astype(jnp.int32)
-        hidden = self.transformer(input_ids, segment_ids=segment_ids)
-        if self.frozen and self.lora_rank == 0:
-            hidden = jax.lax.stop_gradient(hidden)  # see SequenceEncoder
-        pooled, counts = segment_pool(hidden, mask, segment_ids,
-                                      num_segments,
-                                      pooling_type=self.pooling_type)
-        B, P, H = pooled.shape
-        return pooled.reshape(B * P, H), counts.reshape(B * P)
+        return _segment_packed_pooled(
+            self.transformer, self.pooling_type, self.config.pad_token_id,
+            input_ids, segment_ids, num_segments,
+            stop_grad=self.frozen and self.lora_rank == 0)
 
     def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
                         num_segments: int):
@@ -301,6 +298,11 @@ class MsaEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        if not self.use_all_msa and self.pooling_type == "identity":
+            raise ValueError(
+                "MsaEncoder(use_all_msa=False) needs a real per-protein "
+                "pooling_type ('mean'/'cls'/'attention1d'); 'identity' "
+                "would emit unpooled [B, L, H] features")
         self.transformer = MsaTransformer(self.config, dtype=self.dtype)
         self.head = EncoderHead(
             d_model=self.config.hidden_size,
@@ -589,6 +591,13 @@ def create_msa_encoder(
     dtype: Any = "bfloat16",
 ) -> MsaEncoder:
     del model_name_or_path  # weights come through the checkpoint converter
+    if not use_all_msa and pooling_type == "identity":
+        # 'identity' is only meaningful under use_all_msa=True, where the
+        # encoder pools over (rows, cols) itself and the head must not
+        # pool again. Without all-MSA pooling an identity head would emit
+        # unpooled [B, L, H] features into the contrastive loss; fall back
+        # to per-protein mean over the query row instead.
+        pooling_type = "mean"
     cfg = MsaTransformerConfig(
         num_layers=num_layers, hidden_size=hidden_size, num_heads=num_heads,
         intermediate_size=intermediate_size or 4 * hidden_size)

@@ -236,9 +236,20 @@ def segment_cls_pool(features: jax.Array, token_mask: jax.Array,
 def segment_pool(features: jax.Array, token_mask: jax.Array,
                  segment_ids: jax.Array, num_segments: int,
                  pooling_type: str = "mean"):
-    """Dispatch per-segment pooling by the head's pooling_type."""
+    """Dispatch per-segment pooling by the head's pooling_type.
+
+    Only pooling types with a per-segment implementation are accepted: a
+    silent fallback would let a packed train step pool differently than
+    the unpacked eval path (e.g. attention1d eval vs mean train) with no
+    error — train/eval feature divergence is strictly worse than failing
+    fast. Disable packing or switch pooling to use the other types."""
     if pooling_type == "cls":
         return segment_cls_pool(features, token_mask, segment_ids,
                                 num_segments)
+    if pooling_type != "mean":
+        raise NotImplementedError(
+            f"segment (packed) pooling has no '{pooling_type}' variant; "
+            "use pooling_type 'mean'/'cls' with sequence packing, or "
+            "disable packing for this tower")
     return segment_mean_pool(features, token_mask, segment_ids,
                              num_segments)

@@ -99,6 +99,19 @@ def test_seqsim_dataset(data_dir):
     assert s1.shape[0] == 6 and s2.shape[0] == 6
 
 
+def test_seqsim_missing_mutation_entry_falls_back_to_wild_type(data_dir):
+    """A sequence present in the seqsim txt but absent from a clinvar
+    mutation JSON (data drift) must fall back to the wild type like an
+    invalid mutation does — not crash the epoch with a KeyError from the
+    prefetch thread (review finding, round 5)."""
+    ds = _mk("seqsim", data_dir)
+    ds.benign_mutations = {}      # simulate drift: no entries at all
+    ds.pathogenic_mutations = {}
+    s1, s2, modality, raws = ds.collate_fn(
+        [ds[0]], rng=np.random.RandomState(0))
+    assert modality == "seqsim" and s1.shape[0] == 3
+
+
 def test_val_len_capped_at_1000(data_dir):
     ds = _mk("struct_token", data_dir, split="val")
     assert len(ds) == 6  # min(n, 1000)

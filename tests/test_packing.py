@@ -500,3 +500,47 @@ def test_trainer_packed_text_e2e(tmp_path):
     assert np.isfinite(metrics.get("val/loss", np.nan))
     assert metrics.get("train/steps", 0) > 0
     assert metrics.get("cache/hits", 0) > 0
+
+
+def test_segment_pool_rejects_unsupported_pooling_type():
+    """A silent mean fallback would let a packed train step pool
+    differently than the unpacked attention1d eval path — fail fast
+    instead (review finding, round 5)."""
+    import pytest as _pytest
+
+    from oneprot_tpu.models.heads import segment_pool
+
+    feats = jnp.zeros((2, 8, 4))
+    mask = jnp.ones((2, 8), jnp.int32)
+    seg = jnp.zeros((2, 8), jnp.int32)
+    for ok in ("mean", "cls"):
+        segment_pool(feats, mask, seg, 2, pooling_type=ok)
+    with _pytest.raises(NotImplementedError, match="attention1d"):
+        segment_pool(feats, mask, seg, 2, pooling_type="attention1d")
+
+
+def test_loader_len_matches_per_process_iteration(monkeypatch):
+    """__len__ must count the PER-PROCESS batches (the iterator shards
+    rank::nproc); a global count over-reports steps-per-epoch by a factor
+    of process_count (review finding, round 5)."""
+    import jax as _jax
+
+    from oneprot_tpu.data.datamodule import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 103
+
+        def __getitem__(self, i):
+            return i
+
+        def collate_fn(self, items, rng=None):
+            return items
+
+    loader = DataLoader(_DS(), batch_size=8, shuffle=False, prefetch=0)
+    assert len(loader) == len(list(loader))  # single process: 13
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 4)
+    monkeypatch.setattr(_jax, "process_index", lambda: 0)
+    loader2 = DataLoader(_DS(), batch_size=8, shuffle=False, prefetch=0)
+    assert len(loader2) == len(list(loader2))  # 26 local items -> 4 batches

@@ -97,8 +97,27 @@ def test_wordpiece_subwords_and_unk():
     toks = [tok.ids_to_tokens[i] for i in ids]
     assert toks[0] == "[CLS]" and toks[-1] == "[SEP]"
     assert "[UNK]" not in toks  # decomposes into chars/##ase
-    ids2 = tok.encode_ids("éé")  # chars outside vocab -> UNK
+    ids2 = tok.encode_ids("ΔΔ")  # chars outside vocab -> UNK
     assert tok.unk_token_id in ids2
+
+
+def test_wordpiece_strips_accents_like_hf():
+    """HF BertTokenizer(do_lower_case=True) lowercases then NFD-strips
+    combining marks ('naïve' -> 'naive'); NFC without stripping sent every
+    accented word to [UNK], silently diverging from the converted
+    BiomedBERT's training pipeline."""
+    tok = WordPieceTokenizer(tiny_wordpiece_vocab())
+    ids = tok.encode_ids("éé")  # é -> e, in the char vocab
+    toks = [tok.ids_to_tokens[i] for i in ids]
+    assert "[UNK]" not in toks and "e" in toks
+    # composed and decomposed forms of the same text tokenize identically
+    import unicodedata as _ud
+
+    composed = "naïve"
+    decomposed = _ud.normalize("NFD", composed)
+    assert tok.encode_ids(composed) == tok.encode_ids(decomposed)
+    # accent-stripped form matches the plain-ascii spelling
+    assert tok.encode_ids(composed) == tok.encode_ids("naive")
 
 
 def test_text_tokenizer_unknown_name_fails_loudly():
