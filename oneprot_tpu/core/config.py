@@ -605,6 +605,15 @@ def snapshot_config(cfg: ConfigNode, output_dir: str) -> None:
     try:
         import jax
 
+        from oneprot_tpu.core.mesh import init_distributed
+
+        # bootstrap BEFORE the first backend probe: with an explicit
+        # output_dir prepare_run_dir skips _sync_stamp (which normally
+        # does this), and a bare jax.process_count() would initialize the
+        # XLA backend as single-process — making the later
+        # jax.distributed.initialize raise on CPU/GPU clusters and letting
+        # every process write the snapshot concurrently
+        init_distributed()  # no-op when single-process or already up
         if jax.process_count() > 1 and jax.process_index() != 0:
             return
     except ImportError:

@@ -32,7 +32,8 @@ STRUCT_EXTRA_TOKENS = 21  # struct_token_encoder.py:27 (+21 3Di rows)
 
 def _segment_packed_pooled(transformer, head_pooling_type: str,
                            pad_token_id: int, input_ids, segment_ids,
-                           num_segments: int, stop_grad: bool):
+                           num_segments: int, stop_grad: bool,
+                           deterministic: bool = True):
     """Shared packed forward for token encoders: segment-masked transformer
     -> per-segment pooling -> ([B*P, d_model], counts [B*P]). One home for
     the mask construction and reshape contract (previously triplicated
@@ -41,7 +42,8 @@ def _segment_packed_pooled(transformer, head_pooling_type: str,
 
     mask = ((input_ids != pad_token_id)
             & (segment_ids >= 0)).astype(jnp.int32)
-    hidden = transformer(input_ids, segment_ids=segment_ids)
+    hidden = transformer(input_ids, segment_ids=segment_ids,
+                         deterministic=deterministic)
     if stop_grad:
         hidden = jax.lax.stop_gradient(hidden)
     pooled, counts = segment_pool(hidden, mask, segment_ids, num_segments,
@@ -114,22 +116,24 @@ class SequenceEncoder(nn.Module):
             self.backbone_pooled(input_ids, deterministic=deterministic))
 
     def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
-                      num_segments: int):
+                      num_segments: int, deterministic: bool = True):
         """Packed transformer -> per-segment pooled [B*P, d_model] (the
         frozen-cacheable representation) + counts [B*P]."""
         return _segment_packed_pooled(
             self.transformer, self.pooling_type, self.config.pad_token_id,
             input_ids, segment_ids, num_segments,
-            stop_grad=self.frozen and self.lora_rank == 0)
+            stop_grad=self.frozen and self.lora_rank == 0,
+            deterministic=deterministic)
 
     def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
-                        num_segments: int):
+                        num_segments: int, deterministic: bool = True):
         """Sequence-packed forward: multiple proteins per row with
         block-diagonal attention (in-kernel segment mask), pooled per
         segment. Returns (features [B*P, out_dim], counts [B*P]) — rows
         with count 0 are empty pack slots (mask them in the loss)."""
         pooled, counts = self.packed_pooled(input_ids, segment_ids,
-                                            num_segments)
+                                            num_segments,
+                                            deterministic=deterministic)
         return self.head.project(pooled), counts
 
 
@@ -165,17 +169,19 @@ class StructTokenEncoder(nn.Module):
         return self.head(hidden, mask)
 
     def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
-                      num_segments: int):
+                      num_segments: int, deterministic: bool = True):
         return _segment_packed_pooled(
             self.transformer, self.pooling_type, self.config.pad_token_id,
-            input_ids, segment_ids, num_segments, stop_grad=False)
+            input_ids, segment_ids, num_segments, stop_grad=False,
+            deterministic=deterministic)
 
     def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
-                        num_segments: int):
+                        num_segments: int, deterministic: bool = True):
         """See SequenceEncoder.packed_features (this tower is trainable:
         gradients flow through the segment-masked attention kernels)."""
         pooled, counts = self.packed_pooled(input_ids, segment_ids,
-                                            num_segments)
+                                            num_segments,
+                                            deterministic=deterministic)
         return self.head.project(pooled), counts
 
 
@@ -234,7 +240,7 @@ class TextEncoder(nn.Module):
             self.backbone_pooled(input_ids, deterministic=deterministic))
 
     def packed_pooled(self, input_ids: jax.Array, segment_ids: jax.Array,
-                      num_segments: int):
+                      num_segments: int, deterministic: bool = True):
         """Packed BERT forward: several texts per row with block-diagonal
         attention and PER-SEGMENT absolute positions (BERT's learned
         positions restart at 0 for each packed text, models/bert.py), then
@@ -243,14 +249,16 @@ class TextEncoder(nn.Module):
         return _segment_packed_pooled(
             self.transformer, self.pooling_type, self.config.pad_token_id,
             input_ids, segment_ids, num_segments,
-            stop_grad=self.frozen and self.lora_rank == 0)
+            stop_grad=self.frozen and self.lora_rank == 0,
+            deterministic=deterministic)
 
     def packed_features(self, input_ids: jax.Array, segment_ids: jax.Array,
-                        num_segments: int):
+                        num_segments: int, deterministic: bool = True):
         """See SequenceEncoder.packed_features; closes VERDICT r2 #3 (the
         text tower previously had no packed path)."""
         pooled, counts = self.packed_pooled(input_ids, segment_ids,
-                                            num_segments)
+                                            num_segments,
+                                            deterministic=deterministic)
         return self.head.project(pooled), counts
 
 
@@ -365,13 +373,14 @@ class OneProtModel(nn.Module):
         }
 
     def encode_packed(self, inputs: Any, segment_ids: jax.Array,
-                      num_segments: int, modality: str = "sequence"):
+                      num_segments: int, modality: str = "sequence",
+                      deterministic: bool = True):
         """Sequence-packed forward for token encoders (sequence/seqsim/
         struct_token/text): returns (features [B*P, d], counts [B*P])."""
         if modality in ("sequence", "seqsim"):
             modality = "sequence"
         return self.encoders[modality].packed_features(
-            inputs, segment_ids, num_segments)
+            inputs, segment_ids, num_segments, deterministic=deterministic)
 
     def encode_packed_pooled(self, inputs: Any, segment_ids: jax.Array,
                              num_segments: int,

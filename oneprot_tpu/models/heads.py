@@ -165,6 +165,14 @@ class EncoderHead(nn.Module):
         return self.project(self.pool(features, mask))
 
 
+def empty_slot_filler(d: int) -> jax.Array:
+    """Deterministic non-constant filler for EMPTY pack slots — the single
+    definition. The cached packed path (train/feature_cache.py) must
+    reproduce it bit-exactly for the cached==uncached step equality, so
+    never duplicate this expression."""
+    return jnp.arange(d, dtype=jnp.float32) / d - 0.5
+
+
 def segment_mean_pool(features: jax.Array, token_mask: jax.Array,
                       segment_ids: jax.Array, num_segments: int):
     """Per-segment mask-aware mean for PACKED rows (sequence packing).
@@ -195,7 +203,7 @@ def segment_mean_pool(features: jax.Array, token_mask: jax.Array,
     # the zero after the head's LayerNorm centers it); their features are
     # masked out of the loss, so any finite value is fine.
     H = features.shape[-1]
-    filler = (jnp.arange(H, dtype=jnp.float32) / H - 0.5)[None, None, :]
+    filler = empty_slot_filler(H)[None, None, :]
     empty = (counts <= 0).astype(jnp.float32)[..., None]
     pooled = pooled + empty * filler
     return pooled.astype(features.dtype), counts
@@ -227,7 +235,7 @@ def segment_cls_pool(features: jax.Array, token_mask: jax.Array,
     pooled = jnp.einsum("blp,blh->bph", onehot, features,
                         preferred_element_type=jnp.float32)
     H = features.shape[-1]
-    filler = (jnp.arange(H, dtype=jnp.float32) / H - 0.5)[None, None, :]
+    filler = empty_slot_filler(H)[None, None, :]
     empty = (counts <= 0).astype(jnp.float32)[..., None]
     pooled = pooled + empty * filler
     return pooled.astype(features.dtype), counts

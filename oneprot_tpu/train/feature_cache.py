@@ -373,8 +373,12 @@ class FrozenFeatureCache:
         if all(r is not None for k, r in zip(keys, rows) if k is not None):
             self.hits += n_valid
             d = next(r for r in rows if r is not None).shape[-1]
-            filler = np.asarray(
-                (np.arange(d, dtype=np.float32) / d - 0.5), np.float32)
+            # the SINGLE filler definition (models/heads.py) — the all-hit
+            # path must reproduce the compute path's empty-slot vector
+            # bit-exactly for cached==uncached step equality
+            from oneprot_tpu.models.heads import empty_slot_filler
+
+            filler = np.asarray(empty_slot_filler(d), np.float32)
             out = np.stack([filler if r is None else
                             np.asarray(r, np.float32) for r in rows])
             return out

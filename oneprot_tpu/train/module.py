@@ -650,16 +650,23 @@ class OneProtModule:
 
         def step_fn(state: TrainState, seq_ids, seq_seg, mod_ids, mod_seg,
                     valid):
+            # dropout rngs + deterministic=False so LoRA dropout (the only
+            # dropout in these towers) applies under packing exactly like
+            # the unpacked step — it was silently disabled before
+            rng = jax.random.fold_in(jax.random.key(self.seed), state.step)
+            rngs = {"dropout": rng}
             trainable, frozen = optim_lib.partition_params(state.params, mask)
 
             def loss_fn(trainable_params):
                 params = optim_lib.merge_params(trainable_params, frozen)
                 seq_feats, _ = self.model.apply(
                     {"params": params}, seq_ids, seq_seg, num_segments,
-                    "sequence", method=OneProtModel.encode_packed)
+                    "sequence", deterministic=False, rngs=rngs,
+                    method=OneProtModel.encode_packed)
                 mod_feats, _ = self.model.apply(
                     {"params": params}, mod_ids, mod_seg, num_segments,
-                    modality, method=OneProtModel.encode_packed)
+                    modality, deterministic=False, rngs=rngs,
+                    method=OneProtModel.encode_packed)
                 return self._packed_loss_value(mod_feats, seq_feats, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
@@ -680,6 +687,8 @@ class OneProtModule:
         tx = self.tx
 
         def step_fn(state: TrainState, seq_pooled, mod_ids, mod_seg, valid):
+            rng = jax.random.fold_in(jax.random.key(self.seed), state.step)
+            rngs = {"dropout": rng}
             trainable, frozen = optim_lib.partition_params(state.params, mask)
 
             def loss_fn(trainable_params):
@@ -689,7 +698,8 @@ class OneProtModule:
                     method=OneProtModel.head_from_pooled)
                 mod_feats, _ = self.model.apply(
                     {"params": params}, mod_ids, mod_seg, num_segments,
-                    modality, method=OneProtModel.encode_packed)
+                    modality, deterministic=False, rngs=rngs,
+                    method=OneProtModel.encode_packed)
                 return self._packed_loss_value(mod_feats, seq_feats, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)

@@ -104,6 +104,7 @@ class Trainer:
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.limit_test_batches = limit_test_batches
+        self.num_sanity_val_steps = num_sanity_val_steps
         self.deterministic = deterministic
         self.gradient_clip_val = gradient_clip_val
         self.log_every_n_steps = log_every_n_steps
@@ -175,6 +176,20 @@ class Trainer:
             self.output_dir = output_dir
         module.mesh = self.mesh
         module.gradient_clip_val = self.gradient_clip_val
+        # trainer.precision mirrors the reference's Lightning config key,
+        # but on TPU actual compute precision is governed per component
+        # (model.components.*.dtype — the idiomatic JAX design). Surface a
+        # mismatch instead of silently ignoring the knob.
+        if self.precision in ("fp32", "32", 32):
+            bf16_encoders = [
+                name for name, enc in getattr(module, "encoders", {}).items()
+                if str(getattr(enc, "dtype", "")) in ("bfloat16", "bf16")]
+            if bf16_encoders:
+                log.warning(
+                    f"trainer.precision={self.precision!r} but encoders "
+                    f"{bf16_encoders} are configured bf16 — per-component "
+                    "model.components.<name>.dtype governs compute "
+                    "precision; the trainer knob is advisory")
         datamodule.setup()
         examples = datamodule.example_batches()
         module.init(examples)
@@ -210,6 +225,7 @@ class Trainer:
             callbacks: Optional[Dict] = None, logger=None,
             output_dir: Optional[str] = None):
         self.setup(module, datamodule, callbacks, logger, output_dir)
+        resume_best = None
         if ckpt_path:
             module.state = CheckpointManager.restore_path(ckpt_path, module.state)
             self.global_step = int(module.state.step)
@@ -237,6 +253,16 @@ class Trainer:
                     complete = bool(sidecar_metrics.get(
                         "trainer/epoch_complete", 1.0))
                     self._epoch0 = int(saved) + (1 if complete else 0)
+                # restore the best-so-far across the resume (Lightning
+                # keeps ModelCheckpoint.best_model_score): a fresh
+                # best_value=None meant the FIRST post-resume validation
+                # always overwrote 'best' — even with a worse state
+                ckpt_cb = self.callbacks.get("checkpoint")
+                if ckpt_cb is not None:
+                    prev = sidecar_metrics.get(ckpt_cb.monitor)
+                    if prev is not None:
+                        ckpt_cb.best_value = float(prev)
+                resume_best = sidecar_metrics.get("val/loss_best")
             log.info(f"resumed from {ckpt_path} at step {self.global_step} "
                      f"(epoch offset {self._epoch0})")
         else:
@@ -244,22 +270,47 @@ class Trainer:
 
         train_loss = MeanMetric()
         val_loss_best = MinMetric()
+        if ckpt_path and resume_best is not None:
+            val_loss_best.update(float(resume_best))
+
+        if self.num_sanity_val_steps:
+            # Lightning-parity sanity check: run a few val batches BEFORE
+            # paying for a training epoch, so a broken val loader/metric
+            # fails in seconds (no logging, no checkpointing, metrics
+            # discarded). -1 = the whole val set (Lightning semantics).
+            saved_limit = self.limit_val_batches
+            if self.num_sanity_val_steps > 0:
+                self.limit_val_batches = (
+                    self.num_sanity_val_steps if saved_limit is None
+                    else min(saved_limit, self.num_sanity_val_steps))
+            try:
+                self.validate(module, datamodule, split="val")
+            finally:
+                self.limit_val_batches = saved_limit
         pending_losses = []
         stop = False
         if self.profiler == "jax":
             jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
         try:
-            for epoch in range(self.max_epochs):
+            # `epoch` is the GLOBAL epoch index: a resumed run continues at
+            # _epoch0 and stops at max_epochs TOTAL (Lightning semantics) —
+            # iterating range(max_epochs) regardless of the offset made
+            # every chain link re-train max_epochs ADDITIONAL epochs
+            for epoch in range(self._epoch0, self.max_epochs):
                 if stop:
                     break
                 t_epoch = time.time()
                 n_batches = 0
+                # per-epoch mean (Lightning/torchmetrics reset each epoch):
+                # a run-cumulative mean buries late-training behavior under
+                # epoch-1 samples
+                train_loss = MeanMetric()
                 # thread the GLOBAL epoch index into the loaders: fresh
                 # DataLoader objects are built every epoch, so without this
                 # every epoch replayed epoch-0's shuffle/collate RNG (and a
                 # resumed run replayed the first run's epochs)
                 if hasattr(datamodule, "set_epoch"):
-                    datamodule.set_epoch(self._epoch0 + epoch)
+                    datamodule.set_epoch(epoch)
                 for batch in datamodule.train_dataloader():
                     if (self.limit_train_batches is not None
                             and n_batches >= self.limit_train_batches):
@@ -326,10 +377,15 @@ class Trainer:
                                 {"train/loss": train_loss.compute(),
                                  f"train/loss_{last_mod}": last_loss,
                                  # global epoch: continues across resumes
-                                 "epoch": self._epoch0 + epoch},
+                                 "epoch": epoch},
                                 self.global_step)
+                    # Lightning's int val_check_interval counts BATCHES:
+                    # global_step advances by K (modalities) per combined
+                    # batch, so a step-modulo check fired every
+                    # lcm(K, interval) steps instead of every `interval`
+                    # batches
                     if (self.val_check_interval
-                            and self.global_step % self.val_check_interval == 0):
+                            and n_batches % self.val_check_interval == 0):
                         for _, _, l in pending_losses:
                             train_loss.update(float(l))
                         pending_losses.clear()
@@ -352,12 +408,18 @@ class Trainer:
                 for _, _, l in pending_losses:
                     train_loss.update(float(l))
                 pending_losses.clear()
-                if (not stop
-                        and (epoch + 1) % self.check_val_every_n_epoch == 0):
+                ran_epoch_end_val = (
+                    not stop
+                    and (epoch + 1) % self.check_val_every_n_epoch == 0)
+                if ran_epoch_end_val:
                     self._run_validation(module, datamodule, val_loss_best,
                                          epoch, epoch_end=True)
+                # consult EarlyStopping only on epochs that actually
+                # validated: re-evaluating stale metrics on skipped epochs
+                # double-counted the same validation toward patience
                 es = self.callbacks.get("early_stopping")
-                if (es is not None and epoch + 1 >= self.min_epochs
+                if (ran_epoch_end_val and es is not None
+                        and epoch + 1 >= self.min_epochs
                         and es.should_stop(self.metrics_history)):
                     stop = True
                 log.info(
@@ -396,7 +458,9 @@ class Trainer:
             self.callbacks["checkpoint"].on_validation_end(
                 module.state,
                 {**metrics,
-                 "trainer/epoch": float(getattr(self, "_epoch0", 0) + epoch),
+                 # `epoch` is already the GLOBAL index (fit iterates from
+                 # _epoch0); adding the offset again would double-count
+                 "trainer/epoch": float(epoch),
                  # mid-epoch saves (val_check_interval) must not make a
                  # resume skip the rest of the epoch: the sidecar records
                  # whether the epoch had completed at save time

@@ -88,7 +88,9 @@ def test_e2e_soak_packed_cache_resume(tmp_path):
         # -- segment 2: FRESH process state (new module, trainer, cache),
         # Orbax resume + warm disk store. The restart must train at cached
         # speed from its first step: zero hub misses, only disk hits.
-        m2 = run("seg2", ["trainer.max_epochs=1", f"ckpt_path={last}"])
+        # max_epochs is TOTAL across resumes (Lightning semantics): seg1
+        # completed 2 epochs, so seg2 raises it to 3 to train one more.
+        m2 = run("seg2", ["trainer.max_epochs=3", f"ckpt_path={last}"])
         assert np.isfinite(m2["val/loss"])
         assert m2["cache/misses"] == 0, (
             "restarted segment re-paid the epoch-1 hub cost "

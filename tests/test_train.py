@@ -100,9 +100,12 @@ def test_checkpoint_resume(tiny_esm_cfg, data_dir, tmp_path):
     last = os.path.join(out1, "checkpoints", "last")
     assert os.path.isdir(last)
 
+    # max_epochs is TOTAL across resumes (Lightning semantics): the
+    # resumed run must raise it to train further
     out2 = str(tmp_path / "run2")
     m2 = _run(_tiny_overrides(data_dir, tmp_path,
-                              extra=[f"ckpt_path={last}"]), out2)
+                              extra=[f"ckpt_path={last}",
+                                     "trainer.max_epochs=2"]), out2)
     assert np.isfinite(m2["val/loss"])
     import json
 
@@ -118,6 +121,14 @@ def test_checkpoint_resume(tiny_esm_cfg, data_dir, tmp_path):
     with open(os.path.join(out2, "checkpoints", "last.metrics.json")) as f:
         e2 = int(json.load(f)["trainer/epoch"])
     assert e2 == e1 + 1, (e1, e2)
+
+    # a COMPLETED run resumed with the SAME max_epochs is a no-op (a chain
+    # link after completion must not re-train max_epochs more — review
+    # finding, round 5): train/steps stays at the restored counter
+    out3 = str(tmp_path / "run3")
+    m3 = _run(_tiny_overrides(data_dir, tmp_path,
+                              extra=[f"ckpt_path={last}"]), out3)
+    assert m3["train/steps"] == m1["train/steps"]
 
 
 def test_midepoch_checkpoint_resume_replays_epoch(tiny_esm_cfg, data_dir,
