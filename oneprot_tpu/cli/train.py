@@ -85,6 +85,19 @@ def train(cfg) -> dict:
 
     if cfg.get("test", False):
         log.info("Starting testing (best checkpoint)")
+        if not cfg.get("train", True):
+            # test-only run (train=false test=true, reference train.py
+            # surface): fit() never ran, so the trainer has no logger/
+            # callbacks and the module no params — set up explicitly, and
+            # honor an explicit ckpt_path for the restore
+            trainer.setup(module, datamodule,
+                          callbacks=cfg.get("callbacks"), logger=logger,
+                          output_dir=output_dir)
+            if cfg.get("ckpt_path"):
+                from oneprot_tpu.train.checkpoint import CheckpointManager
+
+                module.state = CheckpointManager.restore_path(
+                    str(cfg["ckpt_path"]), module.state)
         best = os.path.join(output_dir, "checkpoints", "best")
         if os.path.isdir(best):
             module.state = trainer.callbacks["checkpoint"].restore(

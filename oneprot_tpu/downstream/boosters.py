@@ -52,7 +52,11 @@ def make_regressor(n_estimators: int = 500, max_depth: int = 6,
 
 
 def fit_booster(train, valid, test, task: str, model=None) -> Dict[str, float]:
-    """Fit on train(+valid) embeddings, report test metrics."""
+    """Fit on train embeddings, report test metrics. `valid` is accepted
+    for signature parity with the reference flow but boosters do not use a
+    validation split (the reference's xgboost configs fit on train only,
+    saprot_fit_cls.py)."""
+    del valid
     info = TASK_REGISTRY.get(task, {"type": "classification", "output_dim": 2})
     task_type = info["type"]
     x_tr, y_tr = train
@@ -60,16 +64,26 @@ def fit_booster(train, valid, test, task: str, model=None) -> Dict[str, float]:
     if model is None:
         model = (make_regressor() if task_type == "regression"
                  else make_classifier())
-    model.fit(np.asarray(x_tr), np.asarray(y_tr))
     if task_type == "regression":
+        model.fit(np.asarray(x_tr), np.asarray(y_tr))
         pred = np.asarray(model.predict(x_te))[:, None]
         return compute_metrics("regression", pred, np.asarray(y_te))
+    # label-encode: a train split missing some class ids would make
+    # predict_proba columns follow model.classes_, so a bare argmax over
+    # columns silently misaligns with the original label values (and
+    # xgboost outright rejects non-contiguous labels). Fit on contiguous
+    # encoded labels and scatter the probabilities back into the full
+    # class space before comparing with y_te.
+    y_tr = np.asarray(y_tr)
+    y_te = np.asarray(y_te)
+    classes, y_enc = np.unique(y_tr, return_inverse=True)
+    n_cls = int(max(int(classes.max()), int(y_te.max()))) + 1
+    model.fit(np.asarray(x_tr), y_enc)
+    logits = np.full((len(y_te), n_cls), -30.0)
     if hasattr(model, "predict_proba"):
         probs = np.asarray(model.predict_proba(x_te))
-        logits = np.log(np.clip(probs, 1e-9, 1.0))
+        logits[:, classes.astype(int)] = np.log(np.clip(probs, 1e-9, 1.0))
     else:
-        pred = model.predict(x_te)
-        n_cls = int(max(y_tr.max(), y_te.max())) + 1
-        logits = np.full((len(pred), n_cls), -30.0)
+        pred = classes[np.asarray(model.predict(x_te)).astype(int)]
         logits[np.arange(len(pred)), pred.astype(int)] = 0.0
-    return compute_metrics("classification", logits, np.asarray(y_te))
+    return compute_metrics("classification", logits, y_te)

@@ -82,9 +82,10 @@ class EmbeddingBackbone:
                                       vocab_size=self.tok.vocab_size)
             self.model = Esm2(cfg, dtype=jnp.bfloat16 if dtype == "bfloat16"
                               else jnp.float32)
-            example = jnp.zeros((1, 8), jnp.int32)
-            self.params = self.model.init(jax.random.key(seed), example)["params"]
             if checkpoint_dir:
+                # the converted weights fully replace the params: skip the
+                # random init (a full 650M on-device init that the next
+                # line would throw away)
                 from oneprot_tpu.models.hf_convert import (
                     convert_esm2_state_dict,
                     load_torch_state_dict,
@@ -94,34 +95,48 @@ class EmbeddingBackbone:
                 extra = self.tok.vocab_size - 33 if kind == "saprot" else 0
                 self.params = convert_esm2_state_dict(
                     sd, cfg.num_layers, extra_vocab_rows=extra)
+            else:
+                example = jnp.zeros((1, 8), jnp.int32)
+                self.params = self.model.init(
+                    jax.random.key(seed), example)["params"]
+            # params are a jit ARGUMENT, not a closure: closing over them
+            # bakes the full weight set into the HLO as constants —
+            # enormous lowered programs and oversized compile payloads
+            # through a remote-compile backend (serving.py observed
+            # HTTP 413 on the identical pattern)
             self._embed = jax.jit(self._embed_esm2)
+            self._embed_params = lambda: self.params
         elif kind in ("custom", "oneprot"):
             from oneprot_tpu.evaluation.retrieval_eval import load_trained_module
             from oneprot_tpu.train.checkpoint import CheckpointManager
 
             module, _ = load_trained_module(run_dir)
             self.tok = esm2_tokenizer()
-            example = self.tok(["MK"], padding=8)
-            module.init({"sequence": (example, example)})
+            # FULL param template: the run's checkpoint was saved from a
+            # TrainState holding ALL encoders, and Orbax restore raises on
+            # a tree-structure mismatch against a sequence-only init
+            # (same contract as retrieval_eval.embed_all)
+            module.init_for_restore()
             best = os.path.join(run_dir, "checkpoints", "best")
             if os.path.isdir(best):
                 module.state = CheckpointManager.restore_path(best, module.state)
             self.module = module
             self._embed = jax.jit(
-                lambda ids: module.model.apply(
-                    {"params": module.state.params}, ids, "sequence"))
+                lambda params, ids: module.model.apply(
+                    {"params": params}, ids, "sequence"))
+            self._embed_params = lambda: module.state.params
         else:
             raise ValueError(f"Unknown backbone kind: {kind}")
 
-    def _embed_esm2(self, ids: jax.Array) -> jax.Array:
-        hidden = self.model.apply({"params": self.params}, ids)
+    def _embed_esm2(self, params, ids: jax.Array) -> jax.Array:
+        hidden = self.model.apply({"params": params}, ids)
         mask = (ids != 1).astype(hidden.dtype)[..., None]
         return (hidden * mask).sum(1) / mask.sum(1)
 
     def __call__(self, sequences: List[str], pad: int) -> np.ndarray:
         ids = jnp.asarray(self.tok(sequences, max_length=self.max_length,
                                    padding=pad))
-        return np.asarray(self._embed(ids), np.float32)
+        return np.asarray(self._embed(self._embed_params(), ids), np.float32)
 
 
 def generate_embeddings(
@@ -139,6 +154,12 @@ def generate_embeddings(
     ds = SequenceDataset(csv_file, label_type)
     rank = jax.process_index()
     nproc = jax.process_count()
+    # clear THIS rank's stale shards: a re-run with a different batch size
+    # leaves old higher-numbered shard files behind, and the combine glob
+    # would silently merge them in (duplicated rows in the output)
+    for stale in glob.glob(os.path.join(
+            output_dir, f"embeddings_rank{rank}_batch*.npz")):
+        os.remove(stale)
     idxs = np.arange(len(ds))[rank::nproc]
     for b, start in enumerate(range(0, len(idxs), batch_size)):
         chunk = idxs[start:start + batch_size]
@@ -190,11 +211,46 @@ def run_collection(cfg: Dict[str, Any]) -> List[str]:
                 shard_dir = os.path.join(out_root, model_name, task, split)
                 generate_embeddings(
                     csv_file, shard_dir, backbone,
-                    label_type=str(cfg.get("label_type", "classification")),
-                    batch_size=int(cfg.get("batch_size", 32)))
+                    label_type=_task_label_type(task, cfg),
+                    batch_size=int(cfg.get("batch_size", 32)),
+                    buckets=_bucket_list(cfg))
                 out = os.path.join(
                     out_root, model_name,
                     f"{task}_{split}_embeddings_labels.npz")
-                combine_embeddings_for_split(shard_dir, out)
+                # multi-process: all ranks finish their shards before
+                # process 0 (alone) combines — unsynchronized, a fast rank
+                # globbed while others were mid-write (BadZipFile /
+                # missing rows) and every rank raced on the output file
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices(
+                        f"collect_{task}_{split}")
+                if jax.process_index() == 0:
+                    combine_embeddings_for_split(shard_dir, out)
                 outputs.append(out)
     return outputs
+
+
+def _task_label_type(task: str, cfg: Dict[str, Any]) -> str:
+    """Per-task label family: tasks in one run differ (EC is multi-label,
+    DeepLoc10 classification), so a single config-wide label_type either
+    crashes the CSV parse or mislabels the probe input. The registry's
+    per-task type wins; an explicit cfg label_type is the fallback for
+    tasks the registry does not know."""
+    from oneprot_tpu.downstream.mlp_probe import TASK_REGISTRY
+
+    info = TASK_REGISTRY.get(task)
+    if info is not None:
+        return str(info["type"])
+    return str(cfg.get("label_type", "classification"))
+
+
+def _bucket_list(cfg: Dict[str, Any]):
+    """Length buckets for the embed forwards: without them every distinct
+    per-batch max length compiles a fresh 650M executable (multi-minute
+    each through a tunneled backend)."""
+    from oneprot_tpu.serving import DEFAULT_BUCKETS
+
+    buckets = cfg.get("buckets") or list(DEFAULT_BUCKETS)
+    return [int(b) for b in buckets]

@@ -217,9 +217,18 @@ def run_eval(cfg) -> Dict[str, Dict[str, float]]:
     run_dir = str(cfg["run_dir"])
     module, run_cfg = load_trained_module(run_dir)
     data_dir = str(cfg["paths"]["data_dir"])
+    # length buckets for the eval forwards: without them pick_bucket pads
+    # to each batch's exact max length, so a 1k-row pool can trigger tens
+    # of full-model recompiles (multi-minute each at 650M). Use the run's
+    # training buckets; fall back to the serving defaults.
+    from oneprot_tpu.serving import DEFAULT_BUCKETS
+
+    buckets = ((run_cfg.get("data", {}) or {}).get("buckets")
+               or list(DEFAULT_BUCKETS))
     dataset = CombinedDataset(
         csv_file=str(cfg["csv_file"]), data_dir=data_dir,
-        text_tokenizer=str(cfg["paths"].get("text_vocab", "tiny")))
+        text_tokenizer=str(cfg["paths"].get("text_vocab", "tiny")),
+        buckets=[int(b) for b in buckets])
     embeddings = embed_all(module, dataset,
                            batch_size=int(cfg.get("batch_size", 16)),
                            run_dir=run_dir,

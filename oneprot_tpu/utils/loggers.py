@@ -17,6 +17,31 @@ import time
 from typing import Any, Dict, Optional
 
 
+class _NonZeroRankFilter(logging.Filter):
+    """Demote INFO on non-zero ranks, probing the rank LAZILY per record.
+
+    get_pylogger runs at MODULE IMPORT time in every entry point; an eager
+    jax.process_index() there would initialize the XLA backend before
+    jax.distributed.initialize (breaking every multi-host launch — the
+    exact hazard core/mesh.init_distributed documents) and would always
+    read rank 0 anyway. Probe only after a backend already exists, so the
+    filter itself can never trigger initialization."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        if record.levelno >= logging.WARNING:
+            return True
+        try:
+            from jax._src import xla_bridge
+
+            if not xla_bridge.backends_are_initialized():
+                return True  # pre-init: keep logging, do NOT initialize
+            import jax
+
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
+
 def get_pylogger(name: str = __name__) -> logging.Logger:
     """Process-zero-aware logger (reference src/utils/pylogger.py:6-17)."""
     logger = logging.getLogger(name)
@@ -26,13 +51,7 @@ def get_pylogger(name: str = __name__) -> logging.Logger:
             "[%(asctime)s][%(name)s][%(levelname)s] - %(message)s"))
         logger.addHandler(handler)
         logger.setLevel(logging.INFO)
-    try:
-        import jax
-
-        if jax.process_index() != 0:
-            logger.setLevel(logging.WARNING)
-    except Exception:
-        pass
+        logger.addFilter(_NonZeroRankFilter())
     return logger
 
 

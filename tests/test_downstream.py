@@ -100,6 +100,21 @@ def test_booster_probe():
     assert res["accuracy"] > 0.85
 
 
+def test_booster_handles_noncontiguous_train_classes():
+    """A train split missing a class id must not misalign predict_proba
+    columns with label values (review finding, round 5): labels {0, 2}
+    only — a bare argmax over 2 probability columns would predict class 1
+    for every class-2 row, scoring ~50% on separable data."""
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 8) * 4
+    def make(n, classes):
+        y = np.asarray(classes)[rng.randint(0, len(classes), n)]
+        return (centers[y] + rng.randn(n, 8) * 0.3).astype(np.float32), y
+    res = fit_booster(make(128, [0, 2]), make(32, [0, 2]),
+                      make(32, [0, 2]), "ToyCls")
+    assert res["accuracy"] > 0.9, res
+
+
 def test_collect_embeddings_end_to_end(tmp_path, monkeypatch):
     """fixtures -> EmbeddingBackbone(esm2 tiny) -> shards -> combine -> probe."""
     from oneprot_tpu.evaluation.collect_embeddings import (
