@@ -126,6 +126,10 @@ def knn_neighbors(
     from oneprot_tpu import native
 
     n = coords.shape[0]
+    if n == 0:
+        # empty chain (e.g. an HDF5 entry with an empty seq1): an
+        # all-masked graph, not an argpartition crash in the loader thread
+        return (np.zeros((0, k), np.int32), np.zeros((0, k), bool))
     fast = native.knn_neighbors(coords, k, cutoff) if n > 1 else None
     if fast is not None:
         return fast
@@ -203,19 +207,27 @@ def augment_graph_batch(
     noise in [-0.3, 0.3], anisotropic deform scale clipped to [0.9, 1.1]."""
     out = dict(batch)
     node_mask = batch["node_mask"].astype(bool)
+    B = batch["aa"].shape[0]
     if use_mask:
-        mask_ratio = rng.uniform(0, 1)
+        # per-SAMPLE mask ratio (the reference draws one per protein in
+        # __getitem__; one per batch correlated the augmentation strength
+        # across all proteins in the batch)
+        mask_ratio = rng.uniform(0, 1, (B, 1))
         flip = (rng.uniform(size=batch["aa"].shape) < mask_ratio) & node_mask
         aa = batch["aa"].copy()
         aa[flip] = 20
         out["aa"] = aa
+    # ONE deform per protein, shared by CA/N/C: independent draws per
+    # coordinate array distorted the N-CA / C-CA vectors inconsistently,
+    # corrupting the backbone frames far beyond the intended single
+    # anisotropic deformation (review finding, round 5)
+    deform = np.clip(rng.normal(1.0, 0.1, (B, 1, 3)), 0.9, 1.1)
     for key in ("coords_ca", "coords_n", "coords_c"):
         coords = out[key]
         if use_coord_noise:
             noise = np.clip(rng.normal(0.0, 0.1, coords.shape), -0.3, 0.3)
             coords = coords + noise.astype(coords.dtype)
         if use_deform:
-            deform = np.clip(rng.normal(1.0, 0.1, (1, 1, 3)), 0.9, 1.1)
             coords = coords * deform.astype(coords.dtype)
         out[key] = coords
     return out

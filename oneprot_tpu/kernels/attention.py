@@ -94,6 +94,17 @@ def _smallhead_maxl() -> int:
         return 0
 
 
+def packed_segment_bias(segment_ids: jax.Array, bias=None):
+    """[B, L] segment ids -> additive [B, 1, L, L] block-diagonal mask for
+    PACKED rows, combined with an optional existing bias. One home for the
+    XLA-fallback construction (the fused kernel builds the mask in-kernel
+    from the ids and never materializes it)."""
+    segmask = jnp.where(
+        segment_ids[:, :, None] == segment_ids[:, None, :],
+        0.0, -1e9)[:, None]                      # [B, 1, L, L]
+    return segmask if bias is None else bias + segmask
+
+
 def reference_attention(
     q: jax.Array,  # [B, H, Lq, D]
     k: jax.Array,  # [B, H, Lk, D]

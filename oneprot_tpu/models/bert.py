@@ -116,11 +116,9 @@ class BertSelfAttention(nn.Module):
             v = v2d.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
             bias4 = bias
             if segment_ids is not None:
-                # packed rows: block-diagonal attention per segment
-                segmask = jnp.where(
-                    segment_ids[:, :, None] == segment_ids[:, None, :],
-                    0.0, -1e9)[:, None]          # [B, 1, L, L]
-                bias4 = segmask if bias4 is None else bias4 + segmask
+                from oneprot_tpu.kernels.attention import packed_segment_bias
+
+                bias4 = packed_segment_bias(segment_ids, bias4)
             ctx = dot_product_attention(q, k, v, bias=bias4)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="o")(ctx)

@@ -241,7 +241,11 @@ class LoraDense(nn.Module):
             in_dim = x.shape[-1]
             a = self.param(
                 "lora_A",
-                nn.initializers.he_uniform(),
+                # peft's kaiming_uniform(a=sqrt(5)) over fan_in: bound
+                # sqrt(1/fan_in) = variance_scaling(1/3, fan_in, uniform).
+                # he_uniform's sqrt(6/fan_in) was ~2.45x wider than the
+                # peft init this class claims to match
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
                 (in_dim, self.lora_rank),
             ).astype(self.dtype)
             b = self.param(
@@ -298,11 +302,11 @@ class Esm2SelfAttention(nn.Module):
             k = apply_rotary(k, cos, sin)
             bias4 = bias
             if segment_ids is not None:
-                # packed rows: block-diagonal attention per segment
-                segmask = jnp.where(
-                    segment_ids[:, :, None] == segment_ids[:, None, :],
-                    0.0, -1e9)[:, None]          # [B, 1, L, L]
-                bias4 = segmask if bias4 is None else bias4 + segmask
+                from oneprot_tpu.kernels.attention import (
+                    packed_segment_bias,
+                )
+
+                bias4 = packed_segment_bias(segment_ids, bias4)
             ctx = dot_product_attention(q, k, v, bias=bias4)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         o_cls = Int8Dense if self.quant_int8 else nn.Dense
@@ -378,12 +382,31 @@ class Esm2(nn.Module):
         if cfg.token_dropout:
             is_mask = (input_ids == cfg.mask_token_id)
             x = jnp.where(is_mask[..., None], 0.0, x)
-            src_lengths = jnp.maximum(attention_mask.sum(-1), 1)
-            mask_ratio_observed = (
-                is_mask.astype(jnp.float32).sum(-1) / src_lengths
-            )
-            scale = (1.0 - MASK_RATIO_TRAIN) / (1.0 - mask_ratio_observed)
-            x = x * scale[:, None, None].astype(x.dtype)
+            if segment_ids is None:
+                src_lengths = jnp.maximum(attention_mask.sum(-1), 1)
+                mask_ratio_observed = (
+                    is_mask.astype(jnp.float32).sum(-1) / src_lengths
+                )
+                scale = ((1.0 - MASK_RATIO_TRAIN)
+                         / (1.0 - mask_ratio_observed))[:, None]
+            else:
+                # PACKED rows: the rescale is per PROTEIN (segment), not
+                # per row — a row-aggregate ratio would make packed and
+                # unpacked encodings of the same protein diverge whenever
+                # mask tokens are present (each protein must see its own
+                # observed mask ratio, exactly as when encoded alone)
+                same = ((segment_ids[:, :, None] == segment_ids[:, None, :])
+                        & (segment_ids[:, None, :] >= 0))
+                valid = attention_mask.astype(jnp.float32)
+                seg_len = jnp.maximum(
+                    jnp.einsum("blm,bm->bl", same.astype(jnp.float32),
+                               valid), 1.0)
+                seg_masked = jnp.einsum(
+                    "blm,bm->bl", same.astype(jnp.float32),
+                    is_mask.astype(jnp.float32))
+                scale = ((1.0 - MASK_RATIO_TRAIN)
+                         / (1.0 - seg_masked / seg_len))
+            x = x * scale[..., None].astype(x.dtype)
 
         # zero out pad embeddings (HF EsmEmbeddings tail behaviour)
         x = x * attention_mask[..., None].astype(x.dtype)

@@ -30,7 +30,12 @@ class MsaTransformerConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     pad_token_id: int = 1
-    max_positions: int = 1026
+    # usable column positions. fair-esm allocates max_positions +
+    # padding_idx + 1 = 1026 table rows and indexes position i at row
+    # 2 + i; the converter strips those 2 offset rows, so THIS is the
+    # post-strip row count — 1026 here made every real-checkpoint import
+    # fail on a (1026 vs 1024) template mismatch (review finding, round 5)
+    max_positions: int = 1024
     max_rows: int = 1024
     layer_norm_eps: float = 1e-5
 

@@ -85,7 +85,7 @@ def main():
             rng.randint(4, 24, size=(B, R, L)).astype(np.int32))
         for dt in (jnp.bfloat16, jnp.float32):
             cfg = MsaTransformerConfig(num_layers=LAYERS, hidden_size=H,
-                                       num_heads=NH, max_positions=1026)
+                                       num_heads=NH, max_positions=1024)
             model = MsaTransformer(cfg, dtype=dt)
             params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
             t = timed(model.apply, params, tokens)

@@ -15,7 +15,10 @@ def _fake_fairesm_sd(layers=2, d=32, ffn=64, vocab=33, bias_scale=0.0):
                 if bias_scale else np.zeros(n, np.float32))
     sd = {
         "embed_tokens.weight": rng.randn(vocab, d).astype(np.float32),
-        "embed_positions.weight": rng.randn(1026 + 2, d).astype(np.float32),
+        # the REAL fair-esm allocation: max_positions + padding_idx + 1
+        # = 1024 + 1 + 1 rows (a fabricated 1026+2 here previously masked
+        # a template mismatch against real checkpoints)
+        "embed_positions.weight": rng.randn(1024 + 2, d).astype(np.float32),
         "msa_position_embedding": rng.randn(1, 1024, 1, d).astype(np.float32),
         "emb_layer_norm_before.weight": np.ones(d, np.float32),
         "emb_layer_norm_before.bias": np.zeros(d, np.float32),
@@ -52,7 +55,7 @@ def test_msa1b_conversion_loads_and_runs():
     cfg = MsaTransformerConfig(hidden_size=32, num_layers=2, num_heads=2,
                                intermediate_size=64)
     params = convert_msa1b_state_dict(_fake_fairesm_sd(), cfg.num_layers)
-    assert params["embed_positions"].shape == (1026, 32)
+    assert params["embed_positions"].shape == (1024, 32)
     assert params["msa_position_embedding"].shape == (1024, 1, 32)
     tokens = np.zeros((1, 3, 8), np.int32)
     tokens[:, :, 0] = 0

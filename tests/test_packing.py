@@ -544,3 +544,38 @@ def test_loader_len_matches_per_process_iteration(monkeypatch):
     monkeypatch.setattr(_jax, "process_index", lambda: 0)
     loader2 = DataLoader(_DS(), batch_size=8, shuffle=False, prefetch=0)
     assert len(loader2) == len(list(loader2))  # 26 local items -> 4 batches
+
+
+def test_packed_token_dropout_rescale_is_per_segment():
+    """ESM2's token-dropout rescale must use each PROTEIN's observed mask
+    ratio under packing: one protein with <mask> tokens packed next to a
+    clean one — both must match their solo encodings (a row-aggregate
+    ratio skewed both; review finding, round 5)."""
+    from oneprot_tpu.models.encoders import StructTokenEncoder
+    from oneprot_tpu.models.esm2 import Esm2Config
+
+    cfg = Esm2Config(hidden_size=32, num_layers=2, num_heads=2,
+                     intermediate_size=64)
+    assert cfg.token_dropout
+    enc = StructTokenEncoder(config=cfg, output_dim=16, proj_type="linear",
+                             use_logit_scale=False)
+    rng = np.random.RandomState(5)
+    t1, t2 = _tokens(rng, 40), _tokens(rng, 56)
+    t1[5:13] = cfg.mask_token_id  # 20% of protein 1 masked, protein 2 clean
+    L = 128
+    ids, seg, valid, rows = pack_token_rows([t1, t2], row_len=L,
+                                            max_per_row=2)
+    params = enc.init({"params": jax.random.key(0)},
+                      jnp.asarray(ids))["params"]
+    packed, _ = enc.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(seg), 2,
+        method=StructTokenEncoder.packed_features)
+    packed = np.asarray(packed)
+    for s, idx in enumerate(rows[0]):
+        tok = (t1, t2)[idx]
+        row = np.full((1, L), 1, np.int32)
+        row[0, :len(tok)] = tok
+        want = np.asarray(enc.apply({"params": params}, jnp.asarray(row)))
+        np.testing.assert_allclose(
+            packed[s], want[0], rtol=2e-4, atol=1e-5,
+            err_msg=f"slot {s} (masked protein parity) != solo run")
